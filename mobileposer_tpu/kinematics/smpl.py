@@ -129,12 +129,17 @@ class ParametricModel:
                  dtype=jnp.float32):
         if isinstance(model_data, (str, os.PathLike)):
             model_data = load_smpl_arrays(str(model_data))
-        self._J_regressor = jnp.asarray(model_data["J_regressor"], dtype)
-        self._skinning_weights = jnp.asarray(model_data["weights"], dtype)
-        self._posedirs = jnp.asarray(model_data["posedirs"], dtype)
-        self._shapedirs = jnp.asarray(model_data["shapedirs"], dtype)
-        self._v_template = jnp.asarray(model_data["v_template"], dtype)
-        self._J = jnp.asarray(model_data["J"], dtype)
+        # Parameters live host-side as numpy: under jit they constant-fold
+        # into the compiled program (no HBM round-trips at trace time), and
+        # eager construction never dispatches device ops — important when
+        # the device is reached through a high-latency tunnel.
+        np_dtype = np.dtype(str(jnp.dtype(dtype)))
+        self._J_regressor = np.asarray(model_data["J_regressor"], np_dtype)
+        self._skinning_weights = np.asarray(model_data["weights"], np_dtype)
+        self._posedirs = np.asarray(model_data["posedirs"], np_dtype)
+        self._shapedirs = np.asarray(model_data["shapedirs"], np_dtype)
+        self._v_template = np.asarray(model_data["v_template"], np_dtype)
+        self._J = np.asarray(model_data["J"], np_dtype)
         self.face = np.asarray(model_data["f"])
         self.parent = S._canon_parent(model_data["parents"])
         self.use_pose_blendshape = use_pose_blendshape
@@ -157,7 +162,11 @@ class ParametricModel:
     # -- zero pose ---------------------------------------------------------
     @f32_matmuls
     def get_zero_pose_joint_and_vertex(self, shape: Optional[jnp.ndarray] = None):
-        """Zero-pose joints/vertices, root at origin (reference: model.py:77-92)."""
+        """Zero-pose joints/vertices, root at origin (reference: model.py:77-92).
+
+        With shape=None this is pure numpy (host-side, free of device
+        dispatch); with a shape vector it traces as jnp.
+        """
         if shape is None:
             j = self._J - self._J[:1]
             v = self._v_template - self._J[:1]

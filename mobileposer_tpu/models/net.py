@@ -1,0 +1,222 @@
+"""MobilePoserNet — the composite pose + translation estimator, TPU-native.
+
+Behavioral parity target: reference `mobileposer/models/net.py:22-219`. The
+re-design replaces the reference's stateful nn.Module with pure functions:
+
+  * `forward`           — chained 4-module pass (net.py:101-119)
+  * `forward_offline`   — whole-sequence inference incl. translation fusion;
+                          the reference's serial Python floor-clamp loop and
+                          O(T^2) cumulative sum (net.py:149-154) become one
+                          `lax.scan` + `cumsum`
+  * `forward_online`    — per-frame streaming as (params, state, frame) ->
+                          (outputs, state) with the 45-frame sliding window,
+                          velocity LSTM carry, foot anchors and root height
+                          all explicit scan-style state (net.py:174-219);
+                          vmap over the state batches many streams per chip
+
+Known reference quirks handled deliberately:
+  - reference `reset()` (net.py:84-88) never clears the Velocity module's
+    LSTM carry; here `init_online_state` resets everything (correct), and
+    `forward` takes/returns the carry explicitly so callers can reproduce
+    either behavior.
+  - reference `forward_online` omits the sigmoid on contact logits when
+    computing the fusion weight (net.py:196 vs net.py:143 offline); we apply
+    sigmoid in both paths for consistency.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobileposer_tpu import config as C
+from mobileposer_tpu.kinematics import rotation as R
+from mobileposer_tpu.kinematics.smpl import ParametricModel
+from mobileposer_tpu.models.modules import MODULE_CONFIGS, module_apply
+from mobileposer_tpu.nn.lstm import rnn_zero_state
+
+GRAVITY_VELOCITY = np.array([0.0, C.joint_set.gravity_velocity, 0.0])
+PROB_THRESHOLD = (0.5, 0.9)           # reference: net.py:53
+VEL_SCALE_PER_FRAME = C.datasets.fps / C.amass.vel_scale   # 15
+NUM_PAST = C.model_config.past_frames       # 40
+NUM_TOTAL = C.model_config.total_frames     # 45
+
+_REDUCED = np.asarray(C.joint_set.reduced)
+_IGNORED = np.asarray(C.joint_set.ignored)
+
+
+def prob_to_weight(p: jnp.ndarray) -> jnp.ndarray:
+    """Map contact probability to fusion weight in [0, 1] (net.py:90-91)."""
+    lo, hi = PROB_THRESHOLD
+    return (jnp.clip(p, lo, hi) - lo) / (hi - lo)
+
+
+def reduced_global_to_full(reduced_r6d: jnp.ndarray,
+                           body_model: ParametricModel) -> jnp.ndarray:
+    """16-joint global r6d -> full 24-joint local rotations (net.py:93-99).
+
+    r6d -> global rotmats at the reduced joints (identity elsewhere) -> IK to
+    local -> identity at ignored joints -> root keeps its *global* rotation.
+    """
+    n = reduced_r6d.shape[0]
+    reduced_rot = R.r6d_to_rotation_matrix(reduced_r6d).reshape(n, -1, 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=reduced_rot.dtype), (n, 24, 3, 3))
+    global_pose = eye.at[:, _REDUCED].set(reduced_rot)
+    local_pose = body_model.inverse_kinematics_R(global_pose)
+    local_pose = local_pose.at[:, _IGNORED].set(jnp.eye(3, dtype=local_pose.dtype))
+    return local_pose.at[:, 0].set(global_pose[:, 0])
+
+
+def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
+            lengths: Optional[jnp.ndarray] = None,
+            vel_h0c0=None):
+    """Chained 4-module pass (reference: net.py:101-119).
+
+    imu: [B, T, 60]. Returns (pose_local [B, T, 24, 3, 3],
+    joints [B, T, 72], vel [B, T, 72], contact_logits [B, T, 2], vel_hc).
+    The velocity module's LSTM carry is explicit: pass `vel_h0c0=None` for a
+    fresh stream, or thread the returned carry for streaming.
+    """
+    B, T, _ = imu.shape
+    pred_joints, _ = module_apply("joints", params["joints"], imu, lengths)
+    x132 = jnp.concatenate([pred_joints, imu], axis=-1)
+    pred_pose_r6d, _ = module_apply("poser", params["poser"], x132, lengths)
+    pose_local = reduced_global_to_full(
+        pred_pose_r6d.reshape(B * T, -1), body_model).reshape(B, T, 24, 3, 3)
+    contact, _ = module_apply("footcontact", params["footcontact"], x132, lengths)
+    if vel_h0c0 is None:
+        vel_h0c0 = rnn_zero_state(MODULE_CONFIGS["velocity"], B, imu.dtype)
+    vel, vel_hc = module_apply("velocity", params["velocity"], x132, lengths,
+                               h0c0=vel_h0c0)
+    return pose_local, pred_joints, vel, contact, vel_hc
+
+
+def _fuse_velocity(joints: jnp.ndarray, vel: jnp.ndarray,
+                   contact: jnp.ndarray, floor_y: float):
+    """Whole-sequence translation fusion (reference: net.py:129-154).
+
+    joints [T, 24, 3], vel [T, 72], contact logits [T, 2] -> tran [T, 3].
+    """
+    T = joints.shape[0]
+    zero = jnp.zeros((1, 3), joints.dtype)
+    lfoot_disp = jnp.concatenate([zero, joints[:-1, 10] - joints[1:, 10]])
+    rfoot_disp = jnp.concatenate([zero, joints[:-1, 11] - joints[1:, 11]])
+    pick_right = jnp.argmax(contact, axis=1).astype(joints.dtype)[:, None]
+    contact_vel = GRAVITY_VELOCITY + R.lerp(lfoot_disp, rfoot_disp, pick_right)
+
+    root_vel = vel.reshape(T, 24, 3)[:, 0] / VEL_SCALE_PER_FRAME
+    weight = prob_to_weight(jax.nn.sigmoid(contact.max(axis=1)))[:, None]
+    velocity = R.lerp(root_vel, contact_vel, weight)
+
+    # Floor-penetration clamp: the reference's frame-serial Python loop
+    # (net.py:149-153) as a scan carrying the accumulated root height.
+    foot_min_y = jnp.min(joints[:, 10:12, 1], axis=1)
+
+    def clamp_step(root_y, inp):
+        v_y, fy = inp
+        current_foot_y = root_y + fy
+        v_y = jnp.where(current_foot_y + v_y <= floor_y,
+                        floor_y - current_foot_y, v_y)
+        return root_y + v_y, v_y
+
+    _, v_y_clamped = jax.lax.scan(clamp_step, 0.0, (velocity[:, 1], foot_min_y))
+    velocity = velocity.at[:, 1].set(v_y_clamped)
+    return jnp.cumsum(velocity, axis=0)
+
+
+class MobilePoserNet:
+    """Binds parameters + SMPL body constants; all methods are pure in
+    (params, inputs) and jit-compatible (reference class: net.py:22)."""
+
+    def __init__(self, body_model: Optional[ParametricModel] = None):
+        self.body_model = body_model or ParametricModel.from_file_or_synthetic(
+            C.paths.smpl_file)
+        j, _ = self.body_model.get_zero_pose_joint_and_vertex()
+        self.j = j                                   # [24, 3] zero-pose joints
+        self.feet_pos = j[10:12]                     # net.py:48
+        self.floor_y = float(j[10:12, 1].min())      # net.py:49
+
+    # -- offline -----------------------------------------------------------
+    def forward_offline(self, params: dict, imu: jnp.ndarray,
+                        vel_h0c0=None):
+        """imu [T, 60] -> (pose [T,24,3,3], joints [T,24,3], tran [T,3],
+        contact [T,2]) (reference: net.py:121-171)."""
+        pose, joints, vel, contact, _ = forward(
+            params, imu[None], self.body_model, vel_h0c0=vel_h0c0)
+        T = imu.shape[0]
+        joints = joints[0].reshape(T, 24, 3)
+        tran = _fuse_velocity(joints, vel[0], contact[0], self.floor_y)
+        return pose[0], joints, tran, contact[0]
+
+    # -- streaming ---------------------------------------------------------
+    class OnlineState(NamedTuple):
+        imu: jnp.ndarray           # [45, 60] sliding window
+        initialized: jnp.ndarray   # bool scalar
+        vel_h: jnp.ndarray         # [2, 1, 256] velocity LSTM h
+        vel_c: jnp.ndarray         # [2, 1, 256] velocity LSTM c
+        last_lfoot: jnp.ndarray    # [3]
+        last_rfoot: jnp.ndarray    # [3]
+        current_root_y: jnp.ndarray
+        last_root_pos: jnp.ndarray  # [3]
+
+    def init_online_state(self, dtype=jnp.float32) -> "MobilePoserNet.OnlineState":
+        """Fresh streaming state (reference: net.py:58-64 + reset, net.py:84)."""
+        h, c = rnn_zero_state(MODULE_CONFIGS["velocity"], 1, dtype)
+        return MobilePoserNet.OnlineState(
+            imu=jnp.zeros((NUM_TOTAL, C.model_config.n_imu), dtype),
+            initialized=jnp.asarray(False),
+            vel_h=h, vel_c=c,
+            last_lfoot=self.feet_pos[0].astype(dtype),
+            last_rfoot=self.feet_pos[1].astype(dtype),
+            current_root_y=jnp.asarray(0.0, dtype),
+            last_root_pos=jnp.zeros(3, dtype))
+
+    def forward_online(self, params: dict, state: "MobilePoserNet.OnlineState",
+                       frame: jnp.ndarray):
+        """One streaming step (reference: net.py:174-219).
+
+        frame: [60]. Returns ((pose [24,3,3], joints [24,3], root_pos [3],
+        contact [2]), new_state). Pure — wrap in jit once, then call per
+        frame; vmap over states for many concurrent streams.
+        """
+        window = jnp.where(
+            state.initialized,
+            jnp.concatenate([state.imu[1:], frame[None]]),
+            jnp.broadcast_to(frame, (NUM_TOTAL, frame.shape[0])))
+
+        # NOTE on semantics: the reference feeds the velocity LSTM the whole
+        # 45-frame window each step *with* the persistent carry
+        # (net.py:117 -> velocity.py:45-48), i.e. the carry advances by 45
+        # frames per real frame. We reproduce that exactly.
+        pose, joints_seq, vel, contact_seq, vel_hc = forward(
+            params, window[None], self.body_model,
+            vel_h0c0=(state.vel_h, state.vel_c))
+
+        pose_t = pose[0, NUM_PAST]
+        joints = joints_seq[0, NUM_PAST].reshape(24, 3)
+        contact = contact_seq[0, NUM_PAST]
+
+        lfoot, rfoot = joints[10], joints[11]
+        contact_vel = jnp.where(contact[0] > contact[1],
+                                state.last_lfoot - lfoot,
+                                state.last_rfoot - rfoot) + GRAVITY_VELOCITY
+        root_vel = vel[0, NUM_PAST].reshape(24, 3)[0] / VEL_SCALE_PER_FRAME
+        weight = prob_to_weight(jax.nn.sigmoid(contact.max()))
+        velocity = R.lerp(root_vel, contact_vel, weight)
+
+        current_foot_y = state.current_root_y + jnp.minimum(lfoot[1], rfoot[1])
+        v_y = jnp.where(current_foot_y + velocity[1] <= self.floor_y,
+                        self.floor_y - current_foot_y, velocity[1])
+        velocity = velocity.at[1].set(v_y)
+
+        new_state = MobilePoserNet.OnlineState(
+            imu=window,
+            initialized=jnp.asarray(True),
+            vel_h=vel_hc[0], vel_c=vel_hc[1],
+            last_lfoot=lfoot, last_rfoot=rfoot,
+            current_root_y=state.current_root_y + v_y,
+            last_root_pos=state.last_root_pos + velocity)
+        return (pose_t, joints, new_state.last_root_pos, contact), new_state

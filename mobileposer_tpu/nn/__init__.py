@@ -1,0 +1,19 @@
+"""Scan-based neural-network primitives for TPU (no framework dependency)."""
+
+from mobileposer_tpu.nn.lstm import (  # noqa: F401
+    LSTMConfig,
+    init_linear,
+    init_lstm_layer,
+    init_rnn,
+    lstm_forward,
+    rnn_apply,
+    rnn_zero_state,
+)
+from mobileposer_tpu.nn.torch_convert import (  # noqa: F401
+    COMBINED_PREFIXES,
+    convert_mobileposer_checkpoint,
+    convert_rnn_state_dict,
+    export_to_npz,
+    load_from_npz,
+    load_torch_state_dict,
+)

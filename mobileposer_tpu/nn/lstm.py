@@ -1,0 +1,237 @@
+"""Scan-based LSTM core for TPU.
+
+Behavioral parity target: the reference RNN primitive
+(`mobileposer/models/rnn.py:9-33`): linear -> ReLU (+dropout on input) ->
+multi-layer (bi)LSTM -> linear, with optional carried hidden state. The
+torch version relies on cuDNN packed sequences; on TPU the idiomatic
+equivalents are:
+
+  * one big batched matmul for the input projection of ALL timesteps
+    (keeps the MXU busy: [T*B, D] @ [D, 4H]), with only the small
+    recurrent matmul [B, H] @ [H, 4H] inside the `lax.scan` carry loop;
+  * variable-length sequences via masked carry updates instead of packing
+    (packed sequences are a GPU-ism; masking is free under XLA fusion);
+  * bidirectionality via a per-sequence length-aware reversal so the
+    backward scan consumes only valid frames.
+
+Weight layout follows torch's LSTM convention (gate order i, f, g, o) so
+released PyTorch checkpoints convert by transpose alone
+(see `nn/torch_convert.py`).
+
+All functions are pure; parameters are plain pytrees (nested dicts), so
+they compose with jit / vmap / grad / pjit without a framework dependency.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LSTMConfig(NamedTuple):
+    """Static architecture of one RNN block (reference: rnn.py:9-18)."""
+    n_input: int
+    n_output: int
+    n_hidden: int
+    n_layers: int = 2
+    bidirectional: bool = True
+    dropout: float = 0.4
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch defaults: U(-1/sqrt(H), 1/sqrt(H)))
+# ---------------------------------------------------------------------------
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_lstm_layer(key, n_in: int, n_hidden: int, dtype=jnp.float32) -> dict:
+    """One direction of one LSTM layer. Kernels stored input-major for
+    right-multiplication (x @ W): w_ih [n_in, 4H], w_hh [H, 4H]."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / math.sqrt(n_hidden)
+    return {
+        "w_ih": _uniform(k1, (n_in, 4 * n_hidden), bound, dtype),
+        "w_hh": _uniform(k2, (n_hidden, 4 * n_hidden), bound, dtype),
+        "b_ih": _uniform(k3, (4 * n_hidden,), bound, dtype),
+        "b_hh": _uniform(k4, (4 * n_hidden,), bound, dtype),
+    }
+
+
+def init_linear(key, n_in: int, n_out: int, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(n_in)
+    return {"w": _uniform(k1, (n_in, n_out), bound, dtype),
+            "b": _uniform(k2, (n_out,), bound, dtype)}
+
+
+def init_rnn(key, cfg: LSTMConfig, dtype=jnp.float32) -> dict:
+    """Full RNN block parameters (reference: rnn.py:13-18)."""
+    n_dir = 2 if cfg.bidirectional else 1
+    keys = jax.random.split(key, 2 + cfg.n_layers * n_dir)
+    params = {
+        "linear1": init_linear(keys[0], cfg.n_input, cfg.n_hidden, dtype),
+        "linear2": init_linear(keys[1], cfg.n_hidden * n_dir, cfg.n_output, dtype),
+        "lstm": [],
+    }
+    ki = 2
+    for layer in range(cfg.n_layers):
+        n_in = cfg.n_hidden if layer == 0 else cfg.n_hidden * n_dir
+        dirs = {}
+        for d in (["fwd", "bwd"] if cfg.bidirectional else ["fwd"]):
+            dirs[d] = init_lstm_layer(keys[ki], n_in, cfg.n_hidden, dtype)
+            ki += 1
+        params["lstm"].append(dirs)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Core scan
+# ---------------------------------------------------------------------------
+
+def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+               h0: jnp.ndarray, c0: jnp.ndarray,
+               mask: Optional[jnp.ndarray]):
+    """Scan an LSTM over time.
+
+    x_proj: [T, B, 4H] precomputed input projection (+ both biases)
+    w_hh:   [H, 4H]
+    h0/c0:  [B, H]
+    mask:   [T, B] 1.0 where the frame is valid, or None for full-length.
+
+    Returns (hidden sequence [T, B, H], (h_T, c_T)).
+    Masked steps hold the carry (so (h_T, c_T) equals the state at each
+    sequence's last valid frame) and emit zeros.
+    """
+    H = w_hh.shape[0]
+
+    def step(carry, inp):
+        h, c = carry
+        if mask is None:
+            gates = inp + h @ w_hh
+        else:
+            xp, m = inp
+            gates = xp + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if mask is not None:
+            m = m[:, None]
+            c_new = m * c_new + (1 - m) * c
+            h_out = m * h_new
+            h_new = m * h_new + (1 - m) * h
+            return (h_new, c_new), h_out
+        return (h_new, c_new), h_new
+
+    xs = x_proj if mask is None else (x_proj, mask)
+    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), xs)
+    return ys, (h_t, c_t)
+
+
+def _reverse_by_length(x: jnp.ndarray, lengths: Optional[jnp.ndarray]):
+    """Reverse [T, B, ...] along time per sequence length.
+
+    With lengths, frame t of sequence b maps to frame (length[b]-1-t); the
+    padded tail stays in place. Applying this twice is the identity, so the
+    same function un-reverses the backward scan's outputs.
+    """
+    T = x.shape[0]
+    if lengths is None:
+        return x[::-1]
+    t_idx = jnp.arange(T)[:, None]                      # [T, 1]
+    src = jnp.where(t_idx < lengths[None, :], lengths[None, :] - 1 - t_idx, t_idx)
+    return jnp.take_along_axis(
+        x, src.reshape((T,) + (x.shape[1],) + (1,) * (x.ndim - 2)), axis=0)
+
+
+def lstm_forward(params_layers, x: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None,
+                 h0c0: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 bidirectional: bool = True):
+    """Multi-layer (bi)LSTM.
+
+    params_layers: list of {"fwd": layer, ["bwd": layer]} dicts
+    x:       [B, T, D] batch-major input
+    lengths: [B] int32 valid lengths, or None (= all T)
+    h0c0:    optional initial state (h0, c0), each [n_layers*n_dir, B, H]
+             stacked in torch order (layer0 fwd, layer0 bwd, layer1 fwd, ...)
+
+    Returns (y [B, T, H*n_dir], (h_T, c_T) stacked like h0c0).
+    """
+    B, T, _ = x.shape
+    n_dir = 2 if bidirectional else 1
+    n_layers = len(params_layers)
+    H = params_layers[0]["fwd"]["w_hh"].shape[0]
+    dtype = x.dtype
+
+    xs = jnp.swapaxes(x, 0, 1)                          # [T, B, D]
+    mask = None
+    if lengths is not None:
+        mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(dtype)
+
+    if h0c0 is None:
+        zeros = jnp.zeros((n_layers * n_dir, B, H), dtype)
+        h0_all, c0_all = zeros, zeros
+    else:
+        h0_all, c0_all = h0c0
+
+    h_finals, c_finals = [], []
+    for li, layer in enumerate(params_layers):
+        outs = []
+        for di, dname in enumerate(["fwd", "bwd"][:n_dir]):
+            p = layer[dname]
+            inp = xs if dname == "fwd" else _reverse_by_length(xs, lengths)
+            # Input projection for all T at once — one MXU-shaped matmul.
+            x_proj = inp @ p["w_ih"] + (p["b_ih"] + p["b_hh"])
+            sidx = li * n_dir + di
+            ys, (h_t, c_t) = _lstm_scan(x_proj, p["w_hh"],
+                                        h0_all[sidx], c0_all[sidx], mask)
+            if dname == "bwd":
+                ys = _reverse_by_length(ys, lengths)
+            outs.append(ys)
+            h_finals.append(h_t)
+            c_finals.append(c_t)
+        xs = outs[0] if n_dir == 1 else jnp.concatenate(outs, axis=-1)
+
+    y = jnp.swapaxes(xs, 0, 1)                          # [B, T, H*n_dir]
+    return y, (jnp.stack(h_finals), jnp.stack(c_finals))
+
+
+# ---------------------------------------------------------------------------
+# Full RNN block (linear -> relu -> LSTM -> linear)
+# ---------------------------------------------------------------------------
+
+def rnn_apply(params: dict, cfg: LSTMConfig, x: jnp.ndarray,
+              lengths: Optional[jnp.ndarray] = None,
+              h0c0: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+              train: bool = False,
+              dropout_rng: Optional[jax.Array] = None):
+    """Apply the RNN block (reference: rnn.py:20-33).
+
+    x: [B, T, n_input]. Returns (y [B, T, n_output], (h_T, c_T)).
+    Dropout (rate cfg.dropout) is applied after relu(linear1(x)) when
+    train=True, matching the reference's `dropout(relu(linear1(x)))`
+    placement (rnn.py:22).
+    """
+    hidden = jax.nn.relu(x @ params["linear1"]["w"] + params["linear1"]["b"])
+    if train and cfg.dropout > 0.0:
+        assert dropout_rng is not None, "train=True requires dropout_rng"
+        keep = 1.0 - cfg.dropout
+        dmask = jax.random.bernoulli(dropout_rng, keep, hidden.shape)
+        hidden = jnp.where(dmask, hidden / keep, 0.0)
+    y, hc = lstm_forward(params["lstm"], hidden, lengths, h0c0,
+                         bidirectional=cfg.bidirectional)
+    y = y @ params["linear2"]["w"] + params["linear2"]["b"]
+    return y, hc
+
+
+def rnn_zero_state(cfg: LSTMConfig, batch: int, dtype=jnp.float32):
+    n_dir = 2 if cfg.bidirectional else 1
+    z = jnp.zeros((cfg.n_layers * n_dir, batch, cfg.n_hidden), dtype)
+    return (z, z)

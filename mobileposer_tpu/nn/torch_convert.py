@@ -1,0 +1,122 @@
+"""Convert released PyTorch MobilePoser checkpoints to our jax pytrees.
+
+The reference ships weights either as per-module Lightning checkpoints or as
+one combined `state_dict` saved by `combine_weights.py:41-56`, with submodule
+prefixes `joints.joints`, `pose.pose`, `foot_contact.footcontact`,
+`velocity.vel` (attribute names from `net.py:41-44`, `joints.py:29`,
+`poser.py:32`, `footcontact.py:28`, `velocity.py:29`). Torch LSTM weights are
+`weight_ih_l{k}[_reverse]` of shape [4H, in] with gate order (i, f, g, o) —
+the same gate order we use, so conversion is a pure transpose.
+
+Torch is used host-side only, to deserialize the pickle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from mobileposer_tpu.nn.lstm import LSTMConfig
+
+# (our module name) -> state_dict prefix inside the combined checkpoint
+COMBINED_PREFIXES: Dict[str, str] = {
+    "joints": "joints.joints",
+    "poser": "pose.pose",
+    "footcontact": "foot_contact.footcontact",
+    "velocity": "velocity.vel",
+}
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t.astype(np.float32)
+    return t.detach().cpu().numpy().astype(np.float32)  # torch tensor
+
+
+def convert_rnn_state_dict(sd: Mapping[str, "object"], prefix: str,
+                           cfg: LSTMConfig) -> dict:
+    """Extract one RNN block (linear1/rnn/linear2) from a torch state_dict."""
+    g = lambda name: _np(sd[f"{prefix}.{name}"])
+    params = {
+        "linear1": {"w": g("linear1.weight").T, "b": g("linear1.bias")},
+        "linear2": {"w": g("linear2.weight").T, "b": g("linear2.bias")},
+        "lstm": [],
+    }
+    for layer in range(cfg.n_layers):
+        dirs = {}
+        for dname, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            if dname == "bwd" and not cfg.bidirectional:
+                continue
+            dirs[dname] = {
+                "w_ih": g(f"rnn.weight_ih_l{layer}{suffix}").T,
+                "w_hh": g(f"rnn.weight_hh_l{layer}{suffix}").T,
+                "b_ih": g(f"rnn.bias_ih_l{layer}{suffix}"),
+                "b_hh": g(f"rnn.bias_hh_l{layer}{suffix}"),
+            }
+        params["lstm"].append(dirs)
+    return params
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Host-side torch.load of a raw state_dict or Lightning checkpoint
+    (reference behavior: utils/model_utils.py:6-15)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: _np(v) for k, v in obj.items() if hasattr(v, "detach") or
+            isinstance(v, np.ndarray)}
+
+
+def convert_mobileposer_checkpoint(sd_or_path, configs: Mapping[str, LSTMConfig]) -> dict:
+    """Combined checkpoint -> {"joints": ..., "poser": ..., ...} pytree.
+
+    `configs` maps our module names to their LSTMConfig (see
+    models/modules.py). Accepts a path or an already-loaded state_dict.
+    """
+    sd = (load_torch_state_dict(sd_or_path)
+          if isinstance(sd_or_path, (str, bytes)) or hasattr(sd_or_path, "__fspath__")
+          else sd_or_path)
+    return {name: convert_rnn_state_dict(sd, COMBINED_PREFIXES[name], configs[name])
+            for name in configs}
+
+
+def export_to_npz(params: dict, path: str) -> None:
+    """Flatten a converted params pytree into an .npz (torch-free reload)."""
+    flat = {}
+
+    def walk(node, key):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{key}/{k}" if key else k)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{key}/{i}")
+        else:
+            flat[key] = np.asarray(node)
+
+    walk(params, "")
+    np.savez(path, **flat)
+
+
+def load_from_npz(path: str) -> dict:
+    """Inverse of export_to_npz (list indices are restored as lists)."""
+    flat = dict(np.load(path))
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)

@@ -3,7 +3,9 @@ exercise a multi-chip mesh without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the shell pre-sets another platform (e.g. a tunneled
+# TPU): unit tests need fp32 numerics and a virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,4 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment may register an external TPU PJRT plugin at interpreter
+# start (sitecustomize) that overrides JAX_PLATFORMS; force CPU explicitly so
+# unit tests never compile over a device tunnel.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

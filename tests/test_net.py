@@ -1,0 +1,167 @@
+"""Tests for the four modules and the MobilePoserNet composite."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mobileposer_tpu import config as C
+from mobileposer_tpu.kinematics import ParametricModel, forward_kinematics_R
+from mobileposer_tpu.kinematics import rotation as R
+from mobileposer_tpu.models import (
+    MODULE_CONFIGS, MobilePoserNet, footcontact_loss, forward,
+    init_all_modules, joints_loss, multiscale_velocity_loss, poser_loss,
+    reduced_global_to_full, velocity_loss,
+)
+
+
+@pytest.fixture(scope="module")
+def body():
+    return ParametricModel.synthetic(num_vertices=240)
+
+
+@pytest.fixture(scope="module")
+def net(body):
+    return MobilePoserNet(body)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_all_modules(jax.random.PRNGKey(0))
+
+
+def test_module_shapes(params):
+    B, T = 2, 9
+    from mobileposer_tpu.models import module_apply
+    imu = jnp.zeros((B, T, 60))
+    x132 = jnp.zeros((B, T, 132))
+    y, _ = module_apply("joints", params["joints"], imu)
+    assert y.shape == (B, T, 72)
+    y, _ = module_apply("poser", params["poser"], x132)
+    assert y.shape == (B, T, 96)
+    y, _ = module_apply("footcontact", params["footcontact"], x132)
+    assert y.shape == (B, T, 2)
+    y, hc = module_apply("velocity", params["velocity"], x132)
+    assert y.shape == (B, T, 72)
+    assert hc[0].shape == (2, B, 256)  # unidirectional carry
+
+
+def test_reduced_global_to_full_roundtrip(body):
+    """FK of the reconstructed local pose must reproduce the input global
+    rotations at every reduced joint (net.py:93-99 semantics)."""
+    key = jax.random.PRNGKey(1)
+    n = 4
+    reduced = jnp.asarray(C.joint_set.reduced)
+    rots = R.generate_random_rotation_matrix(key, n * len(C.joint_set.reduced))
+    rots = rots.reshape(n, -1, 3, 3)
+    # Root must stay identity for the roundtrip check: joint 0's global rot
+    # is copied into the local pose directly.
+    r6d = R.rotation_matrix_to_r6d(rots).reshape(n, -1)
+    full_local = reduced_global_to_full(r6d, body)
+    assert full_local.shape == (n, 24, 3, 3)
+    full_global = forward_kinematics_R(full_local, body.parent)
+    np.testing.assert_allclose(np.asarray(full_global[:, reduced]),
+                               np.asarray(rots), atol=1e-4)
+    # Ignored (non-root) joints carry identity local rotation.
+    for ig in C.joint_set.ignored:
+        if ig == 0:
+            continue
+        np.testing.assert_allclose(np.asarray(full_local[:, ig]),
+                                   np.broadcast_to(np.eye(3), (n, 3, 3)),
+                                   atol=1e-6)
+
+
+def test_forward_shapes(params, body):
+    B, T = 2, 7
+    imu = jax.random.normal(jax.random.PRNGKey(2), (B, T, 60)) * 0.1
+    pose, joints, vel, contact, vel_hc = forward(params, imu, body)
+    assert pose.shape == (B, T, 24, 3, 3)
+    assert joints.shape == (B, T, 72)
+    assert vel.shape == (B, T, 72)
+    assert contact.shape == (B, T, 2)
+    # valid rotation matrices out of the pose head
+    eye = np.einsum("xtjab,xtjcb->xtjac", np.asarray(pose), np.asarray(pose))
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-4)
+
+
+def test_forward_offline(params, net):
+    T = 12
+    imu = jax.random.normal(jax.random.PRNGKey(3), (T, 60)) * 0.1
+    pose, joints, tran, contact = net.forward_offline(params, imu)
+    assert pose.shape == (T, 24, 3, 3)
+    assert joints.shape == (T, 24, 3)
+    assert tran.shape == (T, 3)
+    assert contact.shape == (T, 2)
+    assert np.all(np.isfinite(np.asarray(tran)))
+
+
+def test_forward_online_stream(params, net):
+    """Streaming must be jittable and the window must match offline
+    semantics: after priming with 45 identical frames the online output at
+    t=0 equals a constant-window batch pass."""
+    step = jax.jit(net.forward_online)
+    state = net.init_online_state()
+    frame = jax.random.normal(jax.random.PRNGKey(4), (60,)) * 0.1
+    (pose, joints, root, contact), state = step(params, state, frame)
+    assert pose.shape == (24, 3, 3)
+    assert joints.shape == (24, 3)
+    assert root.shape == (3,)
+    # Reference window semantics: first call repeats the frame 45x.
+    window = jnp.broadcast_to(frame, (C.model_config.total_frames, 60))
+    pose_b, joints_b, vel_b, contact_b, _ = forward(
+        params, window[None], net.body_model)
+    np.testing.assert_allclose(np.asarray(contact),
+                               np.asarray(contact_b[0, C.model_config.past_frames]),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(joints).ravel(),
+        np.asarray(joints_b[0, C.model_config.past_frames]), atol=1e-5)
+
+    # Subsequent steps slide the window.
+    frame2 = frame + 0.01
+    (_, _, root2, _), state = step(params, state, frame2)
+    assert not np.allclose(np.asarray(root), np.asarray(root2))
+
+
+def test_losses_finite_and_grad(params, body):
+    B, T = 2, 9
+    rng = jax.random.PRNGKey(5)
+    batch = {
+        "imu": jax.random.normal(rng, (B, T, 60)) * 0.1,
+        "joints": jax.random.normal(rng, (B, T, 72)) * 0.1,
+        "pose_r6d": jnp.broadcast_to(
+            jnp.array([1, 0, 0, 0, 1, 0], jnp.float32), (B, T, 24, 6)),
+        "vels": jax.random.normal(rng, (B, T, 72)),
+        "contacts": (jax.random.uniform(rng, (B, T, 2)) > 0.5).astype(jnp.float32),
+        "lengths": jnp.array([T, T - 3]),
+    }
+    for name, fn in [("joints", joints_loss),
+                     ("footcontact", footcontact_loss),
+                     ("velocity", velocity_loss)]:
+        val, grads = jax.value_and_grad(fn)(params[name], batch, rng)
+        assert np.isfinite(float(val)), name
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves), name
+
+    val, grads = jax.value_and_grad(poser_loss)(params["poser"], batch, rng,
+                                                body_model=body)
+    assert np.isfinite(float(val))
+
+
+def test_multiscale_velocity_loss_matches_loop():
+    """Check the vectorized chunk loss against a literal translation of the
+    reference's chunk loop (velocity.py:78-86)."""
+    rng = np.random.RandomState(0)
+    B, T, D = 2, 11, 6
+    pred = rng.randn(B, T, D).astype(np.float32)
+    tgt = rng.randn(B, T, D).astype(np.float32)
+
+    expected = 0.0
+    for n in (1, 3, 9):
+        for m in range(T // n):
+            end = min(n * m + n, T)
+            expected += np.mean((pred[:, m * n:end] - tgt[:, m * n:end]) ** 2)
+    got = float(multiscale_velocity_loss(jnp.asarray(pred), jnp.asarray(tgt)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
