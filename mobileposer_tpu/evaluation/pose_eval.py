@@ -1,0 +1,139 @@
+"""Pose-evaluation driver: the 8-row metric report, offline/online protocol
+and translation-drift windows.
+
+Behavioral parity target: reference `mobileposer/evaluate.py:16-107`.
+The reference prints `errs[9]` for both "SIP Error" and "Masked Angular
+Error" (a latent defect, SURVEY §2); we keep both rows so printouts align,
+but label them honestly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobileposer_tpu import config as C
+from mobileposer_tpu.evaluation.evaluator import FullMotionEvaluator
+from mobileposer_tpu.models.net import MobilePoserNet
+
+_IGNORED = np.asarray(C.joint_set.ignored)
+
+METRIC_NAMES = (
+    "SIP Error (deg)", "Angular Error (deg)", "Masked Angular Error (deg)",
+    "Positional Error (cm)", "Masked Positional Error (cm)",
+    "Mesh Error (cm)", "Jitter Error (100m/s^3)", "Distance Error (cm)")
+
+
+class PoseEvaluator:
+    """8-row error report (reference: evaluate.py:16-36)."""
+
+    def __init__(self, body_model=None):
+        self._eval_fn = FullMotionEvaluator(
+            body_model, joint_mask=C.EVAL_JOINT_MASK, fps=C.datasets.fps)
+
+    def eval(self, pose_p, pose_t, tran_p=None, tran_t=None) -> np.ndarray:
+        pose_p = np.array(pose_p, np.float32).reshape(-1, 24, 3, 3)
+        pose_t = np.array(pose_t, np.float32).reshape(-1, 24, 3, 3)
+        pose_p[:, _IGNORED] = np.eye(3, dtype=np.float32)
+        pose_t[:, _IGNORED] = np.eye(3, dtype=np.float32)
+        errs = self._eval_fn(pose_p, pose_t, tran_p=tran_p, tran_t=tran_t)
+        return np.stack([errs[9], errs[3], errs[9], errs[0] * 100,
+                         errs[7] * 100, errs[1] * 100, errs[4] / 100, errs[6]])
+
+    @staticmethod
+    def print(errors: np.ndarray) -> None:
+        for i, name in enumerate(METRIC_NAMES):
+            print("%s: %.2f (+/- %.2f)" % (name, errors[i, 0], errors[i, 1]))
+
+
+def translation_drift(tran_p: np.ndarray, tran_t: np.ndarray,
+                      window_sizes: Sequence[int] = range(1, 8)) -> Dict[int, float]:
+    """Mean translation error over windows where GT travels `w` meters
+    (reference: evaluate.py:66-92). Returns {window_m: mean_err_m} for
+    windows that occurred."""
+    tran_p = np.asarray(tran_p).reshape(-1, 3)
+    tran_t = np.asarray(tran_t).reshape(-1, 3)
+    move = np.zeros(len(tran_t))
+    move[1:] = np.cumsum(np.linalg.norm(tran_t[1:] - tran_t[:-1], axis=1))
+    out = {}
+    for w in window_sizes:
+        frame_pairs = []
+        start, end = 0, 1
+        while end < len(move):
+            if move[end] - move[start] < w:
+                end += 1
+            else:
+                if not frame_pairs or frame_pairs[-1][1] != end:
+                    frame_pairs.append((start, end))
+                start += 1
+        errs = [np.linalg.norm((tran_t[e] - tran_t[s]) - (tran_p[e] - tran_p[s]))
+                / (move[e] - move[s]) * w for s, e in frame_pairs]
+        if errs:
+            out[w] = float(np.mean(errs))
+    return out
+
+
+def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
+                  online: bool = False, evaluate_tran: bool = False,
+                  num_future_frames: int = C.model_config.future_frames,
+                  verbose: bool = True):
+    """Offline (and optionally online) evaluation over a sequence dataset
+    (reference: evaluate.py:39-107).
+
+    dataset yields (imu [T,60], pose_local [T,24,3,3], joints, tran [T,3]).
+    Returns dict with 'offline' [8,2], optional 'online' [8,2] and
+    'tran_errors' {window: mean}.
+    """
+    evaluator = PoseEvaluator(net.body_model)
+    offline_errs, online_errs = [], []
+    tran_errors: Dict[int, List[float]] = {w: [] for w in range(1, 8)}
+
+    forward_offline = jax.jit(net.forward_offline)
+    forward_online = jax.jit(net.forward_online) if online else None
+
+    for item in dataset:
+        imu, pose_t, _, tran_t = item[0], item[1], item[2], item[3]
+        imu_j = jnp.asarray(imu)
+        pose_p, joints_p, tran_p, _ = forward_offline(params, imu_j)
+
+        if online:
+            state = net.init_online_state()
+            frames = np.concatenate(
+                [imu, np.repeat(imu[-1:], num_future_frames, axis=0)])
+            poses, trans = [], []
+            for f in frames:
+                (p, j, r, c), state = forward_online(
+                    params, state, jnp.asarray(f))
+                poses.append(p)
+                trans.append(r)
+            pose_po = np.stack([np.asarray(p) for p in poses])[num_future_frames:]
+            tran_po = np.stack([np.asarray(r) for r in trans])[num_future_frames:]
+            online_errs.append(evaluator.eval(pose_po, pose_t,
+                                              tran_p=tran_po, tran_t=tran_t))
+
+        if evaluate_tran:
+            for w, err in translation_drift(np.asarray(tran_p), tran_t).items():
+                tran_errors[w].append(err)
+
+        offline_errs.append(evaluator.eval(np.asarray(pose_p), pose_t,
+                                           tran_p=np.asarray(tran_p),
+                                           tran_t=tran_t))
+
+    result = {"offline": np.mean(np.stack(offline_errs), axis=0)}
+    if verbose:
+        print("============== offline ================")
+        PoseEvaluator.print(result["offline"])
+    if online_errs:
+        result["online"] = np.mean(np.stack(online_errs), axis=0)
+        if verbose:
+            print("============== online ================")
+            PoseEvaluator.print(result["online"])
+    if evaluate_tran:
+        result["tran_errors"] = {w: float(np.mean(v))
+                                 for w, v in tran_errors.items() if v}
+        if verbose:
+            print("translation drift:", result["tran_errors"])
+    return result

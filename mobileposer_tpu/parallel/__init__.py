@@ -1,0 +1,11 @@
+"""Device-mesh / sharding helpers (GSPMD data parallelism)."""
+
+from mobileposer_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    pad_batch_to_multiple,
+    replicate_params,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,67 @@
+"""Device-mesh and sharding helpers.
+
+The reference trains on a single GPU (`devices=[0]`, reference
+train.py:68) and has no distributed backend at all (SURVEY §2.23-2.24). The
+TPU-native equivalent is GSPMD: declare a mesh once, shard the batch over a
+`data` axis, replicate parameters, and let XLA insert the all-reduces over
+ICI. Multi-host runs only add `jax.distributed.initialize` — same program.
+
+The helpers keep everything mesh-agnostic: a 1-chip mesh compiles to the
+identical program minus collectives, so the same train step serves
+single-chip debugging, an 8-device CPU test mesh, and real pods.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over the first `n_devices` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis; all other dims replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_params(params, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated(mesh)), params)
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Pad the batch dim so it divides the mesh; padded rows get length 0 so
+    masked losses ignore them."""
+    b = next(iter(batch.values())).shape[0]
+    pad = (-b) % multiple
+    if pad == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, widths)
+    return out

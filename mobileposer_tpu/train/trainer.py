@@ -1,0 +1,261 @@
+"""Training loop: optax per-module optimization, pjit data parallelism,
+top-k checkpointing, finetune recipe.
+
+Behavioral parity target: reference `mobileposer/train.py` (TrainingManager,
+train.py:33-97), per-module `configure_optimizers` (AdamW for joints,
+joints.py:114; Adam elsewhere, poser.py:147, footcontact.py:100,
+velocity.py:121), Lightning ModelCheckpoint top-3 by validation loss
+(train.py:48-58), and the finetune flow (finetune.sh + from_pretrained).
+
+TPU re-design: one jitted, donated train step per module; the batch is
+sharded over the mesh's `data` axis and parameters are replicated — XLA
+inserts the gradient all-reduce over ICI (SURVEY §7.7). The same program
+runs single-chip (no collectives) and multi-chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from pathlib import Path
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mobileposer_tpu import config as C
+from mobileposer_tpu.models import modules as M
+from mobileposer_tpu.nn.lstm import init_rnn
+from mobileposer_tpu.nn.torch_convert import export_to_npz, load_from_npz
+from mobileposer_tpu.parallel.mesh import (
+    make_mesh, pad_batch_to_multiple, replicate_params, shard_batch)
+
+MODULE_NAMES = ("poser", "joints", "footcontact", "velocity")
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def make_optimizer(module_name: str, lr: float) -> optax.GradientTransformation:
+    """AdamW for joints (reference: joints.py:114), Adam for the rest."""
+    if module_name == "joints":
+        return optax.adamw(lr)
+    return optax.adam(lr)
+
+
+def loss_fn_for(module_name: str, body_model=None) -> Callable:
+    if module_name == "joints":
+        return M.joints_loss
+    if module_name == "poser":
+        return lambda p, b, r, train=True: M.poser_loss(
+            p, b, r, body_model=body_model, train=train)
+    if module_name == "footcontact":
+        return M.footcontact_loss
+    if module_name == "velocity":
+        return M.velocity_loss
+    raise ValueError(module_name)
+
+
+def init_train_state(module_name: str, key: jax.Array, lr: float) -> TrainState:
+    params = init_rnn(key, M.MODULE_CONFIGS[module_name])
+    opt = make_optimizer(module_name, lr)
+    return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(module_name: str, lr: float, body_model=None):
+    """Jitted, buffer-donated (state, batch, rng) -> (state, loss)."""
+    opt = make_optimizer(module_name, lr)
+    loss_fn = loss_fn_for(module_name, body_model)
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        def compute(params):
+            return loss_fn(params, batch, rng, train=True)
+
+        loss, grads = jax.value_and_grad(compute)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(module_name: str, body_model=None):
+    loss_fn = loss_fn_for(module_name, body_model)
+    return jax.jit(lambda params, batch, rng: loss_fn(
+        params, batch, rng, train=False))
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (reference: train.py:48-58, utils/file_utils.py:17-27)
+# ---------------------------------------------------------------------------
+
+_CKPT_RE = re.compile(r"epoch=(\d+)-valloss=([0-9.]+)\.npz$")
+
+
+class Checkpointer:
+    """Keep the top-k lowest-validation-loss checkpoints as .npz files."""
+
+    def __init__(self, directory, top_k: int = 3):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.top_k = top_k
+
+    def save(self, params: dict, epoch: int, val_loss: float) -> Path:
+        path = self.dir / f"epoch={epoch}-valloss={val_loss:.4f}.npz"
+        export_to_npz(jax.tree_util.tree_map(np.asarray, params), path)
+        self._prune()
+        return path
+
+    def _candidates(self):
+        out = []
+        for p in self.dir.glob("epoch=*-valloss=*.npz"):
+            m = _CKPT_RE.search(p.name)
+            if m:
+                out.append((float(m.group(2)), p))
+        return sorted(out, key=lambda x: x[0])
+
+    def _prune(self):
+        for _, p in self._candidates()[self.top_k:]:
+            p.unlink()
+
+    def best(self) -> Optional[Path]:
+        cands = self._candidates()
+        return cands[0][1] if cands else None
+
+
+def get_best_checkpoint(directory) -> Optional[Path]:
+    """Best checkpoint in a module dir (reference: utils/file_utils.py:23-27)."""
+    return Checkpointer(directory).best()
+
+
+def get_checkpoint_path(root=None) -> Path:
+    """Next numbered run dir under checkpoints/ (reference: train.py:100-113)."""
+    root = Path(root) if root else C.paths.checkpoint
+    root.mkdir(parents=True, exist_ok=True)
+    nums = [int(p.name) for p in root.iterdir() if p.name.isdigit()]
+    return root / str(max(nums) + 1 if nums else 1)
+
+
+# ---------------------------------------------------------------------------
+# Training manager (reference: train.py:33-97)
+# ---------------------------------------------------------------------------
+
+class TrainingManager:
+    """Sequential per-module training with a shared dataset and mesh."""
+
+    def __init__(self, finetune: Optional[str] = None,
+                 fast_dev_run: bool = False, mesh=None,
+                 hypers: Optional[C.TrainHypers] = None):
+        self.finetune = finetune
+        self.fast_dev_run = fast_dev_run
+        self.hypers = hypers or (C.finetune_hypers if finetune else C.train_hypers)
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+    def train_module(self, module_name: str, dataset, checkpoint_path,
+                     init_params: Optional[dict] = None,
+                     body_model=None, seed: Optional[int] = None,
+                     val_fraction: float = 0.1,
+                     log_file: Optional[str] = None) -> Dict:
+        """Train one module over `dataset` (a PoseDataset). Returns dict with
+        final params and loss history. 90/10 train/val split mirrors the
+        reference (data.py:151-153)."""
+        h = self.hypers
+        seed = h.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        key, init_key = jax.random.split(key)
+
+        state = init_train_state(module_name, init_key, h.lr)
+        if init_params is not None:
+            state = state._replace(params=jax.tree_util.tree_map(
+                jnp.asarray, init_params))
+        n_dev = len(self.mesh.devices.flatten())
+        state = state._replace(params=replicate_params(state.params, self.mesh))
+
+        train_step = make_train_step(module_name, h.lr, body_model)
+        eval_step = make_eval_step(module_name, body_model)
+
+        # deterministic sample-level split
+        rng_np = np.random.default_rng(seed)
+        n = len(dataset)
+        perm = rng_np.permutation(n)
+        n_val = max(1, int(n * val_fraction))
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+        W = C.datasets.window_length
+        epochs = 1 if self.fast_dev_run else h.num_epochs
+        history = {"train_loss": [], "val_loss": []}
+        ckpt = Checkpointer(Path(checkpoint_path) / module_name)
+        log_f = open(log_file, "a") if log_file else None
+
+        def batches_from(idxs, shuffle_rng):
+            order = shuffle_rng.permutation(len(idxs)) if shuffle_rng else np.arange(len(idxs))
+            bs = h.batch_size
+            for b0 in range(0, len(order) - bs + 1, bs):
+                yield dataset._assemble(idxs[order[b0:b0 + bs]], W)
+
+        step_i = 0
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            for batch in batches_from(train_idx, rng_np):
+                batch = pad_batch_to_multiple(batch, n_dev)
+                batch = shard_batch(batch, self.mesh)
+                key, sub = jax.random.split(key)
+                state, loss = train_step(state, batch, sub)
+                losses.append(loss)
+                step_i += 1
+                if self.fast_dev_run and step_i >= 2:
+                    break
+            train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else float("nan")
+
+            val_losses = []
+            for batch in batches_from(val_idx, None):
+                batch = pad_batch_to_multiple(batch, n_dev)
+                batch = shard_batch(batch, self.mesh)
+                key, sub = jax.random.split(key)
+                val_losses.append(eval_step(state.params, batch, sub))
+                if self.fast_dev_run:
+                    break
+            val_loss = float(np.mean([np.asarray(l) for l in val_losses])) if val_losses else train_loss
+
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+            ckpt.save(state.params, epoch, val_loss)
+            rec = {"module": module_name, "epoch": epoch,
+                   "train_loss": train_loss, "val_loss": val_loss,
+                   "seconds": round(time.time() - t0, 3)}
+            print(json.dumps(rec))
+            if log_f:
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+        if log_f:
+            log_f.close()
+        return {"params": jax.tree_util.tree_map(np.asarray, state.params),
+                "history": history, "checkpointer": ckpt}
+
+
+def combine_weights(checkpoint_path, out_path=None) -> Path:
+    """Merge each module's best checkpoint into one weights file
+    (reference: combine_weights.py:41-56)."""
+    combined = {}
+    for name in MODULE_NAMES:
+        best = get_best_checkpoint(Path(checkpoint_path) / name)
+        if best is None:
+            raise FileNotFoundError(f"no checkpoint for module {name} "
+                                    f"in {checkpoint_path}")
+        combined[name] = load_from_npz(best)
+    out_path = Path(out_path or (Path(checkpoint_path) / "base_model.npz"))
+    export_to_npz(combined, out_path)
+    return out_path
+
+
+def load_combined_weights(path) -> dict:
+    """Load a combined weights file into the MobilePoserNet params pytree."""
+    return load_from_npz(path)

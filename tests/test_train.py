@@ -1,0 +1,110 @@
+"""Tests for the training loop, sharded train step, and checkpointing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mobileposer_tpu import config as C
+from mobileposer_tpu.data import PoseDataset
+from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
+from mobileposer_tpu.kinematics import ParametricModel
+from mobileposer_tpu.parallel import make_mesh, pad_batch_to_multiple, shard_batch
+from mobileposer_tpu.train import (
+    Checkpointer, TrainingManager, combine_weights, get_best_checkpoint,
+    get_checkpoint_path, init_train_state, load_combined_weights,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def body():
+    return ParametricModel.synthetic(num_vertices=240)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory, body):
+    path = tmp_path_factory.mktemp("train_data") / "synth.pt"
+    make_synthetic_processed_dataset(path, n_sequences=2, T=150, seed=0,
+                                     body_model=body)
+    # restrict to 2 combos to keep the test small
+    return PoseDataset(fold="train", body_model=body, data_files=[path],
+                       combos=["lw_rp", "rp"])
+
+
+def test_train_step_reduces_loss(dataset):
+    """A few steps of the joints module on one repeated batch must reduce
+    the loss (the overfit-one-batch sanity check, reference overfit.py)."""
+    state = init_train_state("joints", jax.random.PRNGKey(0), lr=1e-3)
+    step = make_train_step("joints", lr=1e-3)
+    batch = dataset._assemble(np.arange(4), C.datasets.window_length)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, batch, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+
+
+def test_sharded_train_step_multichip(dataset):
+    """The same train step must run batch-sharded over the 8-device CPU
+    mesh and agree with the single-device result."""
+    mesh = make_mesh()
+    assert len(mesh.devices.flatten()) == 8
+    state = init_train_state("footcontact", jax.random.PRNGKey(0), lr=1e-3)
+    step = make_train_step("footcontact", lr=1e-3)
+    batch = dataset._assemble(np.arange(8), C.datasets.window_length)
+
+    sharded = shard_batch(pad_batch_to_multiple(batch, 8), mesh)
+    state_s, loss_s = step(state, sharded, jax.random.PRNGKey(2))
+
+    state2 = init_train_state("footcontact", jax.random.PRNGKey(0), lr=1e-3)
+    state_r, loss_r = step(state2, batch, jax.random.PRNGKey(2))
+    # Identical params/batch/rng -> identical loss regardless of sharding.
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-5)
+
+
+def test_training_manager_fast_dev_run(dataset, body, tmp_path):
+    mgr = TrainingManager(fast_dev_run=True,
+                          hypers=C.TrainHypers(batch_size=4, num_epochs=1))
+    out = mgr.train_module("velocity", dataset, tmp_path, body_model=body)
+    assert len(out["history"]["train_loss"]) == 1
+    assert np.isfinite(out["history"]["train_loss"][0])
+    assert get_best_checkpoint(tmp_path / "velocity") is not None
+
+
+def test_checkpointer_topk(tmp_path):
+    ck = Checkpointer(tmp_path, top_k=2)
+    params = {"linear1": {"w": np.ones((2, 2)), "b": np.zeros(2)}}
+    ck.save(params, 0, 1.0)
+    ck.save(params, 1, 0.5)
+    ck.save(params, 2, 2.0)
+    files = sorted(p.name for p in tmp_path.glob("*.npz"))
+    assert len(files) == 2
+    assert ck.best().name == "epoch=1-valloss=0.5000.npz"
+
+
+def test_combine_weights_roundtrip(dataset, body, tmp_path):
+    """Best checkpoints of all four modules merge into one loadable file."""
+    mgr = TrainingManager(fast_dev_run=True,
+                          hypers=C.TrainHypers(batch_size=4, num_epochs=1))
+    for name in ("poser", "joints", "footcontact", "velocity"):
+        mgr.train_module(name, dataset, tmp_path, body_model=body)
+    out = combine_weights(tmp_path)
+    params = load_combined_weights(out)
+    assert set(params.keys()) == {"poser", "joints", "footcontact", "velocity"}
+    # loadable into the composite forward
+    from mobileposer_tpu.models import forward
+    imu = jnp.zeros((1, 8, 60))
+    pose, joints, vel, contact, _ = forward(params, imu, body)
+    assert pose.shape == (1, 8, 24, 3, 3)
+
+
+def test_get_checkpoint_path(tmp_path):
+    p1 = get_checkpoint_path(tmp_path)
+    assert p1.name == "1"
+    p1.mkdir()
+    assert get_checkpoint_path(tmp_path).name == "2"
