@@ -1,0 +1,153 @@
+"""Live streaming runtime: calibration procedure + 30 Hz inference loop.
+
+Behavioral parity target: reference `mobileposer/live_demo.py:146-264`. The
+interactive prompts become explicit methods so the same runtime drives real
+sensors, the fake replayer, and headless benchmarks; the model step is the
+jitted pure `forward_online` (models/net.py) instead of a stateful module.
+
+Output side: optional Unity TCP export (pose axis-angle '#' tran '$',
+reference live_demo.py:256-260) and session recording in the reference's
+dev-data schema (live_demo.py:266-280).
+"""
+
+from __future__ import annotations
+
+import socket
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mobileposer_tpu import config as C
+from mobileposer_tpu.kinematics import rotation as R
+from mobileposer_tpu.models import MobilePoserNet
+from mobileposer_tpu.stream.calibration import (
+    Calibration, compute_device_calibration, compute_smpl2imu, normalize_frames)
+from mobileposer_tpu.stream.imuset import Clock, IMUSet
+
+
+class UnityExporter:
+    """TCP server streaming pose+tran strings to a Unity viewer
+    (reference: live_demo.py:185-190, 256-260)."""
+
+    def __init__(self, host: str = "0.0.0.0", port: int = 8889):
+        self.server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.server.bind((host, port))
+        self.server.listen(1)
+        self.conn = None
+
+    def accept(self) -> None:
+        self.conn, _ = self.server.accept()
+
+    def send(self, pose_aa: np.ndarray, tran: np.ndarray) -> None:
+        if self.conn is None:
+            return
+        s = ",".join("%g" % v for v in pose_aa.flatten()) + "#" + \
+            ",".join("%g" % v for v in tran.flatten()) + "$"
+        self.conn.send(s.encode("utf8"))
+
+    def close(self) -> None:
+        if self.conn is not None:
+            self.conn.close()
+        self.server.close()
+
+
+class LivePoser:
+    """End-to-end streaming estimator."""
+
+    def __init__(self, net: MobilePoserNet, params: dict,
+                 imu_set: Optional[IMUSet] = None, combo: str = "lw_rp"):
+        self.net = net
+        self.params = params
+        self.imu_set = imu_set or IMUSet(buffer_len=1)
+        self.combo = combo
+        self.calibration: Optional[Calibration] = None
+        self._step = jax.jit(net.forward_online)
+        self._state = net.init_online_state()
+        self._aa = jax.jit(
+            lambda p: R.rotation_matrix_to_axis_angle(p).reshape(72))
+
+    # -- calibration (reference: live_demo.py:159-174) ---------------------
+    def calibrate_body_frame(self, num_seconds: float = 3.0) -> np.ndarray:
+        """Step 1: reference IMU held aligned with the body frame."""
+        oris, _ = self.imu_set.get_mean_measurement_of_n_second(
+            num_seconds=num_seconds, buffer_len=40)
+        self._smpl2imu = compute_smpl2imu(oris[0])
+        return self._smpl2imu
+
+    def calibrate_tpose(self, num_seconds: float = 3.0) -> Calibration:
+        """Step 2: all devices worn, subject in T-pose."""
+        oris, accs = self.imu_set.get_mean_measurement_of_n_second(
+            num_seconds=num_seconds, buffer_len=40)
+        self.calibration = compute_device_calibration(
+            self._smpl2imu, oris, accs)
+        return self.calibration
+
+    def set_calibration(self, cal: Calibration) -> None:
+        self.calibration = cal
+
+    def reset(self) -> None:
+        self._state = self.net.init_online_state()
+
+    # -- per-frame inference ----------------------------------------------
+    def step_frame(self, quat_wxyz5: np.ndarray, acc5: np.ndarray):
+        """One raw aligned frame -> (pose [24,3,3], joints, tran [3],
+        contact [2])."""
+        assert self.calibration is not None, "calibrate first"
+        imu60 = normalize_frames(self.calibration, quat_wxyz5[None],
+                                 acc5[None], self.combo)[0]
+        (pose, joints, tran, contact), self._state = self._step(
+            self.params, self._state, jnp.asarray(imu60))
+        return pose, joints, tran, contact
+
+    def run(self, duration: Optional[float] = None, fps: int = C.datasets.fps,
+            on_frame: Optional[Callable] = None,
+            unity: Optional[UnityExporter] = None,
+            record: bool = False, debug: bool = False):
+        """Main loop (reference: live_demo.py:207-264)."""
+        assert self.calibration is not None, "calibrate first"
+        self.imu_set.start_reading()
+        clock = Clock()
+        recorded = {"acc": [], "ori": [], "pose": [], "tran": []} if record else None
+        t0 = time.time()
+        try:
+            while duration is None or time.time() - t0 < duration:
+                clock.tick(fps)
+                quat, acc = self.imu_set.get_current_buffer()
+                if quat.size == 0:
+                    continue
+                pose, joints, tran, contact = self.step_frame(quat[-1], acc[-1])
+                if unity is not None:
+                    unity.send(np.asarray(self._aa(pose)), np.asarray(tran))
+                if on_frame is not None:
+                    on_frame(pose, joints, tran, contact)
+                if recorded is not None:
+                    recorded["acc"].append(acc[-1])
+                    recorded["ori"].append(quat[-1])
+                    recorded["pose"].append(np.asarray(pose))
+                    recorded["tran"].append(np.asarray(tran))
+                if debug:
+                    print(f"\rSensor FPS {self.imu_set.clock.get_fps():5.1f}  "
+                          f"Output FPS {clock.get_fps():5.1f}", end="")
+        finally:
+            self.imu_set.stop_reading()
+        if recorded is not None:
+            return {k: np.stack(v) if v else np.zeros(0) for k, v in recorded.items()}
+        return None
+
+
+def save_session(data: dict, calibration: Calibration,
+                 out_dir=None) -> Path:
+    """Persist a recorded session (reference: live_demo.py:266-280)."""
+    out_dir = Path(out_dir or C.paths.dev_data)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / f"dev_{int(time.time())}.npz"
+    np.savez(path, **data, smpl2imu=calibration.smpl2imu,
+             device2bone=calibration.device2bone,
+             acc_offsets=calibration.acc_offsets)
+    return path
