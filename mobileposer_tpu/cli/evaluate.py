@@ -1,0 +1,43 @@
+"""Evaluate a trained model (reference CLI: mobileposer/evaluate.py:110-126).
+
+    python -m mobileposer_tpu.cli.evaluate --model weights.npz --dataset dip
+        [--combo lw_rp] [--online] [--tran]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from mobileposer_tpu import config as C
+from mobileposer_tpu.data import EvalSequence, PoseDataset
+from mobileposer_tpu.evaluation import evaluate_pose
+from mobileposer_tpu.kinematics.smpl import ParametricModel
+from mobileposer_tpu.models import MobilePoserNet
+from mobileposer_tpu.models.utils import load_model
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=True,
+                        help="combined weights (.npz or torch checkpoint)")
+    parser.add_argument("--dataset", default="dip",
+                        choices=list(C.datasets.test_datasets.keys()))
+    parser.add_argument("--combo", default="lw_rp",
+                        choices=list(C.COMBOS.keys()))
+    parser.add_argument("--online", action="store_true",
+                        help="also run frame-by-frame streaming eval")
+    parser.add_argument("--tran", action="store_true",
+                        help="report translation drift at 1-7 m")
+    args = parser.parse_args(argv)
+
+    body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
+    params = load_model(args.model)
+    net = MobilePoserNet(body)
+    ds = PoseDataset(fold="test", evaluate=args.dataset, body_model=body)
+    view = EvalSequence(ds, combo=args.combo)
+    evaluate_pose(net, params, view, online=args.online,
+                  evaluate_tran=args.tran)
+
+
+if __name__ == "__main__":
+    main()

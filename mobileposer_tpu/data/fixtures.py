@@ -25,10 +25,26 @@ from mobileposer_tpu.kinematics.smpl import ParametricModel
 def smooth_random_pose(rng: np.random.Generator, T: int,
                        step_std: float = 0.02) -> np.ndarray:
     """[T, 24, 3, 3] local rotations from integrated small random twists."""
+    import jax
     increments = rng.normal(0.0, step_std, (T, 24, 3)).astype(np.float32)
     aa = np.cumsum(increments, axis=0)
-    rot = R.axis_angle_to_rotation_matrix(jnp.asarray(aa.reshape(-1, 3)))
+    rot = jax.jit(R.axis_angle_to_rotation_matrix)(jnp.asarray(aa.reshape(-1, 3)))
     return np.asarray(rot).reshape(T, 24, 3, 3)
+
+
+_jitted_synth = {}
+
+
+def _synth_jit(body_model):
+    """One jitted synthesis program per body (avoids eager per-op dispatch,
+    which is pathologically slow on tunneled devices)."""
+    key = id(body_model)
+    if key not in _jitted_synth:
+        import jax
+        _jitted_synth[key] = jax.jit(
+            lambda pose, tran: synthesize_virtual_imu(body_model, pose,
+                                                      tran=tran))
+    return _jitted_synth[key]
 
 
 def synthetic_sequence(body_model: ParametricModel, rng: np.random.Generator,
@@ -36,8 +52,7 @@ def synthetic_sequence(body_model: ParametricModel, rng: np.random.Generator,
     """One synthetic processed sequence in the reference .pt schema."""
     pose = smooth_random_pose(rng, T)
     tran = np.cumsum(rng.normal(0, 0.01, (T, 3)), axis=0).astype(np.float32)
-    syn = synthesize_virtual_imu(body_model, jnp.asarray(pose),
-                                 tran=jnp.asarray(tran))
+    syn = _synth_jit(body_model)(jnp.asarray(pose), jnp.asarray(tran))
     return {
         "pose": pose,
         "tran": tran,

@@ -36,6 +36,15 @@ VI_MASK = np.asarray(C.VI_MASK)
 JI_MASK = np.asarray(C.JI_MASK)
 
 
+def tracked_vertex_indices(num_vertices: int) -> np.ndarray:
+    """The 6 tracked mesh vertices (process.py:18). The official indices
+    assume the 6890-vertex SMPL mesh; for smaller fixture bodies they wrap
+    deterministically so tests run without the official blob."""
+    if num_vertices > int(VI_MASK.max()):
+        return VI_MASK
+    return VI_MASK % num_vertices
+
+
 def synthesize_acceleration(vert: jnp.ndarray, smooth_n: int = 4,
                             fps: int = TARGET_FPS) -> jnp.ndarray:
     """Virtual accelerometer from vertex positions (process.py:23-35).
@@ -103,9 +112,10 @@ def synthesize_virtual_imu(body_model, pose_rot: jnp.ndarray,
     """
     grot, joint, vert = body_model.forward_kinematics(
         pose_rot, shape=shape, tran=tran, calc_mesh=True)
+    vi = tracked_vertex_indices(body_model.num_vertices)
     return {
         "joint": joint,
-        "vacc": synthesize_acceleration(vert[:, VI_MASK], smooth_n),
+        "vacc": synthesize_acceleration(vert[:, vi], smooth_n),
         "vrot": grot[:, JI_MASK],
         "contact": foot_ground_probs(joint),
     }

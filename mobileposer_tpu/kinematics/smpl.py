@@ -212,6 +212,10 @@ class ParametricModel:
         if j.ndim == 2:
             j = jnp.broadcast_to(j, (n,) + j.shape)
             v = jnp.broadcast_to(v, (n,) + v.shape)
+        elif j.shape[0] == 1 and n > 1:
+            # one shape vector shared by the whole pose batch
+            j = jnp.broadcast_to(j, (n,) + j.shape[1:])
+            v = jnp.broadcast_to(v, (n,) + v.shape[1:])
         bone_vec = self.joint_position_to_bone_vector(j)
         pose_global, joint_global = S.forward_kinematics(pose, bone_vec, self.parent)
 

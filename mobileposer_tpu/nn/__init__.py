@@ -9,6 +9,11 @@ from mobileposer_tpu.nn.lstm import (  # noqa: F401
     rnn_apply,
     rnn_zero_state,
 )
+from mobileposer_tpu.nn.rnn_with_init import (  # noqa: F401
+    RNNWithInitConfig,
+    init_rnn_with_init,
+    rnn_with_init_apply,
+)
 from mobileposer_tpu.nn.torch_convert import (  # noqa: F401
     COMBINED_PREFIXES,
     convert_mobileposer_checkpoint,

@@ -1,0 +1,96 @@
+"""Physics-refinement hook (the reference's vestigial PHYSICS path).
+
+The reference gates `from dynamics import PhysicsOptimizer` behind the
+PHYSICS env var (reference net.py:66-69, 157-169, 211-217) — but the
+`dynamics` module does not exist in the repo, so enabling it raises
+ImportError; its rbdl/pybullet wrappers (articulate/utils/rbdl, .../bullet)
+are dead code. We keep the same interface and gating, but back it with a
+*working* lightweight kinematic refiner so the flag is usable:
+
+  * per-frame pose smoothing toward the previous frame (jerk suppression)
+  * contact-consistent root correction: when a foot is confidently in
+    contact, the root translation is adjusted so that foot stays put
+
+This is intentionally a refinement hook, not a full rigid-body dynamics
+engine; its jit-compatible (state in, state out) design is where an
+rbdl-class solver would slot in.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def physics_enabled() -> bool:
+    """PHYSICS env gate (reference helpers.py getenv + net.py:66)."""
+    return bool(os.environ.get("PHYSICS"))
+
+
+class PhysicsState(NamedTuple):
+    prev_pose: jnp.ndarray       # [24, 3, 3]
+    prev_lfoot: jnp.ndarray      # [3]
+    prev_rfoot: jnp.ndarray      # [3]
+    initialized: jnp.ndarray     # bool
+
+
+class PhysicsOptimizer:
+    """Per-frame refiner with the reference's optimize_frame signature."""
+
+    def __init__(self, body_model=None, smoothing: float = 0.2,
+                 contact_threshold: float = 0.7, debug: bool = False):
+        self.body = body_model
+        self.smoothing = smoothing
+        self.contact_threshold = contact_threshold
+        self.debug = debug
+
+    def reset_states(self) -> PhysicsState:
+        return PhysicsState(
+            prev_pose=jnp.broadcast_to(jnp.eye(3), (24, 3, 3)),
+            prev_lfoot=jnp.zeros(3), prev_rfoot=jnp.zeros(3),
+            initialized=jnp.asarray(False))
+
+    def optimize_frame(self, pose, joint_velocity, contact, acc,
+                       state: Optional[PhysicsState] = None,
+                       tran: Optional[jnp.ndarray] = None):
+        """Refine one frame (reference call sites: net.py:163, 216).
+
+        pose: [24, 3, 3]; joint_velocity: [24, 3]; contact: [2] logits;
+        acc: unused by this refiner (kept for signature parity).
+        Returns ((pose', tran'), state').
+        """
+        if state is None:
+            state = self.reset_states()
+        tran = jnp.zeros(3) if tran is None else tran
+        s = self.smoothing
+
+        # temporal smoothing in rotation space via matrix blend + QR
+        # re-orthonormalization (cheap polar-lite); skipped on first frame
+        blended = (1 - s) * pose + s * state.prev_pose
+        q, r = jnp.linalg.qr(blended)
+        signs = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+        pose_smoothed = q * signs[..., None, :]
+        pose_out = jnp.where(state.initialized, pose_smoothed, pose)
+
+        if self.body is not None:
+            j, _ = self.body.get_zero_pose_joint_and_vertex()
+            _, joints = self.body.forward_kinematics(pose_out[None])
+            lfoot, rfoot = joints[0, 10] + tran, joints[0, 11] + tran
+            prob = jax.nn.sigmoid(jnp.asarray(contact))
+            # if a foot is confidently planted, cancel its drift
+            anchored = jnp.where(prob[0] > prob[1],
+                                 state.prev_lfoot - lfoot,
+                                 state.prev_rfoot - rfoot)
+            strength = jnp.clip((jnp.max(prob) - self.contact_threshold)
+                                / (1 - self.contact_threshold), 0.0, 1.0)
+            tran = tran + jnp.where(state.initialized, strength, 0.0) * anchored
+            lfoot, rfoot = joints[0, 10] + tran, joints[0, 11] + tran
+        else:
+            lfoot = rfoot = jnp.zeros(3)
+
+        new_state = PhysicsState(pose_out, lfoot, rfoot, jnp.asarray(True))
+        return (pose_out, tran), new_state

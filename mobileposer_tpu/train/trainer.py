@@ -196,7 +196,7 @@ class TrainingManager:
 
         def batches_from(idxs, shuffle_rng):
             order = shuffle_rng.permutation(len(idxs)) if shuffle_rng else np.arange(len(idxs))
-            bs = h.batch_size
+            bs = max(1, min(h.batch_size, len(idxs)))
             for b0 in range(0, len(order) - bs + 1, bs):
                 yield dataset._assemble(idxs[order[b0:b0 + bs]], W)
 
@@ -227,7 +227,8 @@ class TrainingManager:
 
             history["train_loss"].append(train_loss)
             history["val_loss"].append(val_loss)
-            ckpt.save(state.params, epoch, val_loss)
+            if np.isfinite(val_loss):
+                ckpt.save(state.params, epoch, val_loss)
             rec = {"module": module_name, "epoch": epoch,
                    "train_loss": train_loss, "val_loss": val_loss,
                    "seconds": round(time.time() - t0, 3)}

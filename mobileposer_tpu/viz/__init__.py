@@ -1,0 +1,3 @@
+"""Visualization / debug exports (headless-first)."""
+
+from mobileposer_tpu.viz.viewer import MotionDump, SMPLViewer, SequenceLoader  # noqa: F401

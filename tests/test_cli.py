@@ -1,0 +1,98 @@
+"""End-to-end CLI workflow on synthetic data:
+process -> overfit -> train -> combine -> evaluate -> example."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("cli_ws")
+    (ws / "processed").mkdir()
+    (ws / "processed" / "eval").mkdir()
+    return ws
+
+
+@pytest.fixture(scope="module", autouse=True)
+def env(workspace):
+    old = dict(os.environ)
+    os.environ["MP_PROCESSED"] = str(workspace / "processed")
+    yield
+    os.environ.clear()
+    os.environ.update(old)
+
+
+@pytest.fixture(scope="module")
+def body():
+    from mobileposer_tpu.kinematics import ParametricModel
+    return ParametricModel.synthetic(num_vertices=240)
+
+
+@pytest.fixture(scope="module")
+def datasets(workspace, body):
+    from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
+    train = workspace / "processed" / "synthetic.pt"
+    test = workspace / "processed" / "eval" / "dip_test.pt"
+    make_synthetic_processed_dataset(train, n_sequences=2, T=150, seed=0,
+                                     body_model=body)
+    make_synthetic_processed_dataset(test, n_sequences=1, T=60, seed=1,
+                                     body_model=body)
+    return train, test
+
+
+def test_cli_train_combine(workspace, datasets, body, monkeypatch):
+    # keep the CLI on the small synthetic body
+    import mobileposer_tpu.kinematics.smpl as smpl_mod
+    monkeypatch.setattr(
+        smpl_mod.ParametricModel, "from_file_or_synthetic",
+        classmethod(lambda cls, f, **kw: body))
+    from mobileposer_tpu.cli import train as train_cli
+    ckpt_dir = workspace / "ckpt"
+    train_cli.main(["--fast-dev-run", "--checkpoint-dir", str(ckpt_dir),
+                    "--combine"])
+    assert (ckpt_dir / "base_model.npz").exists()
+    assert (ckpt_dir / "metrics.jsonl").exists()
+
+
+def test_cli_evaluate(workspace, datasets, body, monkeypatch, capsys):
+    import mobileposer_tpu.kinematics.smpl as smpl_mod
+    monkeypatch.setattr(
+        smpl_mod.ParametricModel, "from_file_or_synthetic",
+        classmethod(lambda cls, f, **kw: body))
+    from mobileposer_tpu.cli import evaluate as eval_cli
+    eval_cli.main(["--model", str(workspace / "ckpt" / "base_model.npz"),
+                   "--dataset", "dip", "--tran"])
+    out = capsys.readouterr().out
+    assert "SIP Error (deg)" in out
+    assert "offline" in out
+
+
+def test_cli_example(workspace, datasets, body, monkeypatch):
+    import mobileposer_tpu.kinematics.smpl as smpl_mod
+    monkeypatch.setattr(
+        smpl_mod.ParametricModel, "from_file_or_synthetic",
+        classmethod(lambda cls, f, **kw: body))
+    from mobileposer_tpu.cli import example as example_cli
+    out_dir = workspace / "motions"
+    example_cli.main(["--model", str(workspace / "ckpt" / "base_model.npz"),
+                      "--dataset", "dip", "--out", str(out_dir)])
+    assert (out_dir / "pose.txt").exists()
+    assert (out_dir / "tran.txt").exists()
+    saved = np.load(out_dir / "example_dip_0.npz")
+    assert saved["pose_p"].shape[1:] == (24, 3, 3)
+
+
+def test_cli_overfit(workspace, body, monkeypatch, capsys):
+    import mobileposer_tpu.kinematics.smpl as smpl_mod
+    monkeypatch.setattr(
+        smpl_mod.ParametricModel, "from_file_or_synthetic",
+        classmethod(lambda cls, f, **kw: body))
+    from mobileposer_tpu.cli import overfit as overfit_cli
+    overfit_cli.main(["--module", "footcontact", "--steps", "5",
+                      "--synthetic", "--batch-size", "2"])
+    out = capsys.readouterr().out
+    assert "parameters" in out
+    assert "step    4" in out
