@@ -72,25 +72,30 @@ def reduced_global_to_full(reduced_r6d: jnp.ndarray,
 
 def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
             lengths: Optional[jnp.ndarray] = None,
-            vel_h0c0=None):
+            vel_h0c0=None, backend: str = "auto"):
     """Chained 4-module pass (reference: net.py:101-119).
 
     imu: [B, T, 60]. Returns (pose_local [B, T, 24, 3, 3],
     joints [B, T, 72], vel [B, T, 72], contact_logits [B, T, 2], vel_hc).
     The velocity module's LSTM carry is explicit: pass `vel_h0c0=None` for a
     fresh stream, or thread the returned carry for streaming.
+    backend='auto' routes the bidirectional layers through the fused pallas
+    kernel on TPU (ops/lstm_pallas.py).
     """
     B, T, _ = imu.shape
-    pred_joints, _ = module_apply("joints", params["joints"], imu, lengths)
+    pred_joints, _ = module_apply("joints", params["joints"], imu, lengths,
+                                  backend=backend)
     x132 = jnp.concatenate([pred_joints, imu], axis=-1)
-    pred_pose_r6d, _ = module_apply("poser", params["poser"], x132, lengths)
+    pred_pose_r6d, _ = module_apply("poser", params["poser"], x132, lengths,
+                                    backend=backend)
     pose_local = reduced_global_to_full(
         pred_pose_r6d.reshape(B * T, -1), body_model).reshape(B, T, 24, 3, 3)
-    contact, _ = module_apply("footcontact", params["footcontact"], x132, lengths)
+    contact, _ = module_apply("footcontact", params["footcontact"], x132,
+                              lengths, backend=backend)
     if vel_h0c0 is None:
         vel_h0c0 = rnn_zero_state(MODULE_CONFIGS["velocity"], B, imu.dtype)
     vel, vel_hc = module_apply("velocity", params["velocity"], x132, lengths,
-                               h0c0=vel_h0c0)
+                               h0c0=vel_h0c0, backend=backend)
     return pose_local, pred_joints, vel, contact, vel_hc
 
 

@@ -150,10 +150,26 @@ def _reverse_by_length(x: jnp.ndarray, lengths: Optional[jnp.ndarray]):
         x, src.reshape((T,) + (x.shape[1],) + (1,) * (x.ndim - 2)), axis=0)
 
 
+def _use_pallas(backend: str, bidirectional: bool, lengths) -> bool:
+    """'auto' picks the pallas kernel where it measures faster on TPU:
+    bidirectional full-length layers (see ops/lstm_pallas.py); ragged
+    batches and unidirectional scans stay on the XLA path."""
+    if backend == "pallas":
+        return True
+    if backend != "auto" or lengths is not None:
+        return False
+    try:
+        is_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        is_tpu = False
+    return is_tpu and bidirectional
+
+
 def lstm_forward(params_layers, x: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None,
                  h0c0: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                 bidirectional: bool = True):
+                 bidirectional: bool = True,
+                 backend: str = "xla"):
     """Multi-layer (bi)LSTM.
 
     params_layers: list of {"fwd": layer, ["bwd": layer]} dicts
@@ -161,9 +177,15 @@ def lstm_forward(params_layers, x: jnp.ndarray,
     lengths: [B] int32 valid lengths, or None (= all T)
     h0c0:    optional initial state (h0, c0), each [n_layers*n_dir, B, H]
              stacked in torch order (layer0 fwd, layer0 bwd, layer1 fwd, ...)
+    backend: 'xla' (lax.scan), 'pallas' (fused kernel, full-length only),
+             or 'auto' (pallas where it wins on TPU)
 
     Returns (y [B, T, H*n_dir], (h_T, c_T) stacked like h0c0).
     """
+    if _use_pallas(backend, bidirectional, lengths):
+        from mobileposer_tpu.ops.lstm_pallas import lstm_forward_pallas
+        return lstm_forward_pallas(params_layers, x, h0c0,
+                                   bidirectional=bidirectional)
     B, T, _ = x.shape
     n_dir = 2 if bidirectional else 1
     n_layers = len(params_layers)
@@ -211,7 +233,8 @@ def rnn_apply(params: dict, cfg: LSTMConfig, x: jnp.ndarray,
               lengths: Optional[jnp.ndarray] = None,
               h0c0: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
               train: bool = False,
-              dropout_rng: Optional[jax.Array] = None):
+              dropout_rng: Optional[jax.Array] = None,
+              backend: str = "xla"):
     """Apply the RNN block (reference: rnn.py:20-33).
 
     x: [B, T, n_input]. Returns (y [B, T, n_output], (h_T, c_T)).
@@ -226,7 +249,7 @@ def rnn_apply(params: dict, cfg: LSTMConfig, x: jnp.ndarray,
         dmask = jax.random.bernoulli(dropout_rng, keep, hidden.shape)
         hidden = jnp.where(dmask, hidden / keep, 0.0)
     y, hc = lstm_forward(params["lstm"], hidden, lengths, h0c0,
-                         bidirectional=cfg.bidirectional)
+                         bidirectional=cfg.bidirectional, backend=backend)
     y = y @ params["linear2"]["w"] + params["linear2"]["b"]
     return y, hc
 

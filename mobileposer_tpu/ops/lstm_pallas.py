@@ -1,0 +1,161 @@
+"""Pallas TPU kernel: fused LSTM layer scan.
+
+The scan-LSTM core (nn/lstm.py) splits each layer into (a) one large
+MXU-friendly input projection over all timesteps and (b) a `lax.scan` whose
+body is the small recurrent matmul + gate math. This kernel replaces (b)
+with a single `pallas_call`:
+
+  * grid = (T,): pallas iterates the time dimension sequentially on-core,
+    auto-pipelining the HBM->VMEM loads of each timestep's input projection
+    (double-buffered) behind the recurrent compute;
+  * the recurrent weights w_hh live in VMEM for the whole window — they are
+    loaded from HBM exactly once per call instead of once per scan step;
+  * the (h, c) carry lives in VMEM scratch, persisting across grid steps;
+  * the recurrent matmul [B, H] @ [H, 4H] runs on the MXU at fp32
+    accumulation; gate math is VPU element-wise.
+
+Interface mirrors `nn/lstm._lstm_scan` (full-length path); masking variants
+stay on the XLA path. Use `interpret=True` for CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lstm_step_kernel(x_proj_ref, w_hh_ref, h0_ref, c0_ref,
+                      ys_ref, h_out_ref, c_out_ref,
+                      h_scratch, c_scratch):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = h0_ref[:]
+        c_scratch[:] = c0_ref[:]
+
+    h = h_scratch[:]
+    c = c_scratch[:]
+    gates = x_proj_ref[0] + jnp.dot(h, w_hh_ref[:],
+                                    preferred_element_type=jnp.float32)
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+    f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+
+    h_scratch[:] = h_new
+    c_scratch[:] = c_new
+    ys_ref[0] = h_new.astype(ys_ref.dtype)
+
+    @pl.when(t == T - 1)
+    def _():
+        h_out_ref[:] = h_new.astype(h_out_ref.dtype)
+        c_out_ref[:] = c_new.astype(c_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                      h0: jnp.ndarray, c0: jnp.ndarray,
+                      interpret: bool = False):
+    """Fused LSTM layer scan (full-length sequences).
+
+    x_proj: [T, B, 4H] input projection incl. biases; w_hh: [H, 4H];
+    h0/c0: [B, H]. Returns (ys [T, B, H], (h_T, c_T)). Gate order matches
+    torch (i, f, g, o), like nn/lstm.py.
+    """
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
+    dtype = x_proj.dtype
+
+    ys, h_t, c_t = pl.pallas_call(
+        _lstm_step_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_proj, w_hh, h0, c0)
+    return ys, (h_t, c_t)
+
+
+def lstm_forward_pallas(params_layers, x: jnp.ndarray,
+                        h0c0=None, bidirectional: bool = True,
+                        interpret: bool = False):
+    """Multi-layer (bi)LSTM on the pallas kernel — full-length sequences
+    (no masking; the XLA path in nn/lstm.py handles ragged batches).
+
+    Mirrors `nn.lstm.lstm_forward` for lengths=None.
+    """
+    B, T, _ = x.shape
+    n_dir = 2 if bidirectional else 1
+    n_layers = len(params_layers)
+    H = params_layers[0]["fwd"]["w_hh"].shape[0]
+    dtype = x.dtype
+
+    if h0c0 is None:
+        zeros = jnp.zeros((n_layers * n_dir, B, H), dtype)
+        h0_all, c0_all = zeros, zeros
+    else:
+        h0_all, c0_all = h0c0
+
+    xs = jnp.swapaxes(x, 0, 1)                          # [T, B, D]
+    h_finals, c_finals = [], []
+    for li, layer in enumerate(params_layers):
+        outs = []
+        for di, dname in enumerate(["fwd", "bwd"][:n_dir]):
+            p = layer[dname]
+            inp = xs if dname == "fwd" else xs[::-1]
+            x_proj = inp @ p["w_ih"] + (p["b_ih"] + p["b_hh"])
+            sidx = li * n_dir + di
+            ys, (h_t, c_t) = lstm_layer_pallas(
+                x_proj, p["w_hh"], h0_all[sidx], c0_all[sidx],
+                interpret=interpret)
+            if dname == "bwd":
+                ys = ys[::-1]
+            outs.append(ys)
+            h_finals.append(h_t)
+            c_finals.append(c_t)
+        xs = outs[0] if n_dir == 1 else jnp.concatenate(outs, axis=-1)
+    y = jnp.swapaxes(xs, 0, 1)
+    return y, (jnp.stack(h_finals), jnp.stack(c_finals))
+
+
+def rnn_apply_pallas(params: dict, cfg, x: jnp.ndarray, h0c0=None,
+                     interpret: bool = False):
+    """Pallas-backed equivalent of `nn.lstm.rnn_apply` (inference path:
+    full-length, no dropout)."""
+    hidden = jax.nn.relu(x @ params["linear1"]["w"] + params["linear1"]["b"])
+    y, hc = lstm_forward_pallas(params["lstm"], hidden, h0c0,
+                                bidirectional=cfg.bidirectional,
+                                interpret=interpret)
+    y = y @ params["linear2"]["w"] + params["linear2"]["b"]
+    return y, hc
