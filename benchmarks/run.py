@@ -1,0 +1,213 @@
+"""Benchmark suite over the BASELINE.md config matrix.
+
+Configs (driver BASELINE.json):
+  1. dip_pose_only      — poser+joints offline path, lw_rp combo
+  2. full_net_offline   — full 4-module net + translation fusion
+  3. long_seq_drift     — TotalCapture-style long-sequence offline + drift
+  4. combo_streaming    — all 12 combos batched streaming (batch-major)
+  5. train_throughput   — per-module training step throughput
+
+Run:  python benchmarks/run.py [--config all] [--out report.json]
+
+Timing is transport-honest (benchmarks/timing.py): every benchmark chains R
+iterations on device inside one jit region with a data dependency between
+iterations, fetches one scalar, and subtracts the measured round trip —
+naive per-call timing on a tunneled TPU measures the transport, and
+`block_until_ready` alone under-reports.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from benchmarks.timing import rtt_seconds, timed_fetch
+
+
+def bench_dip_pose_only(net, params, rtt):
+    """Config 1: joints+poser offline over DIP-length sequences, chained."""
+    from mobileposer_tpu.models import module_apply
+    from mobileposer_tpu.models.net import reduced_global_to_full
+    T, R = 1024, 20
+    imu0 = jnp.asarray(np.random.RandomState(0).randn(T, 60), jnp.float32) * 0.1
+
+    @jax.jit
+    def run(params, imu):
+        def body(_, imu):
+            x = imu[None]
+            joints, _ = module_apply("joints", params["joints"], x,
+                                     backend="auto")
+            xx = jnp.concatenate([joints, x], axis=-1)
+            r6d, _ = module_apply("poser", params["poser"], xx, backend="auto")
+            pose = reduced_global_to_full(r6d.reshape(-1, 96), net.body_model)
+            return imu + pose[0, 0, 0, 0] * 1e-12     # chain dependency
+        out = jax.lax.fori_loop(0, R, body, imu)
+        return out.sum()
+
+    wall = timed_fetch(run, params, imu0, reps=3)
+    dt = max(wall - rtt, 1e-9) / R
+    return {"metric": "dip_pose_only_frames_per_sec", "value": round(T / dt, 1),
+            "unit": "frames/s", "seq_len": T}
+
+
+def bench_full_net_offline(net, params, rtt):
+    """Config 2: full net + translation fusion, chained on device."""
+    T, R = 1024, 20
+    imu0 = jnp.asarray(np.random.RandomState(1).randn(T, 60), jnp.float32) * 0.1
+
+    @jax.jit
+    def run(params, imu):
+        def body(_, imu):
+            _, _, tran, _ = net.forward_offline(params, imu)
+            return imu + tran[-1, 0] * 1e-12
+        out = jax.lax.fori_loop(0, R, body, imu0)
+        return out.sum()
+
+    wall = timed_fetch(run, params, imu0, reps=3)
+    dt = max(wall - rtt, 1e-9) / R
+    return {"metric": "full_net_offline_frames_per_sec",
+            "value": round(T / dt, 1), "unit": "frames/s", "seq_len": T}
+
+
+def bench_long_seq_drift(net, params, rtt):
+    """Config 3: TotalCapture-style long sequence + drift windows."""
+    from mobileposer_tpu.evaluation import translation_drift
+    T, R = 8192, 5
+    imu0 = jnp.asarray(np.random.RandomState(2).randn(T, 60), jnp.float32) * 0.1
+
+    @jax.jit
+    def run(params, imu):
+        def body(_, imu):
+            _, _, tran, _ = net.forward_offline(params, imu)
+            return imu + tran[-1, 0] * 1e-12
+        return jax.lax.fori_loop(0, R, body, imu).sum()
+
+    wall = timed_fetch(run, params, imu0, reps=3)
+    dt = max(wall - rtt, 1e-9) / R
+    _, _, tran_p, _ = jax.jit(net.forward_offline)(params, imu0)
+    tran_t = np.cumsum(np.random.RandomState(3).randn(T, 3) * 0.01, axis=0)
+    t0 = time.perf_counter()
+    translation_drift(np.asarray(tran_p), tran_t)
+    drift_s = time.perf_counter() - t0
+    return {"metric": "long_seq_offline_frames_per_sec",
+            "value": round(T / dt, 1), "unit": "frames/s", "seq_len": T,
+            "drift_eval_seconds": round(drift_s, 3)}
+
+
+def bench_combo_streaming(net, params, rtt):
+    """Config 4: all 12 combos batched streaming, batch-major."""
+    from mobileposer_tpu.data import COMBO_MASKS, make_combo_imu
+    users = 21
+    n_streams = len(COMBO_MASKS) * users          # 252 streams
+    n_frames = 100
+    states = net.init_online_state_batched(n_streams)
+
+    @jax.jit
+    def run(params, states, frames):
+        (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
+            params, states, frames)
+        return root.sum()
+
+    rng = np.random.RandomState(4)
+    acc = rng.randn(n_frames, n_streams, 5, 3).astype(np.float32) * 0.1
+    ori = np.broadcast_to(np.eye(3, dtype=np.float32),
+                          (n_frames, n_streams, 5, 3, 3))
+    masks = np.repeat(COMBO_MASKS, users, axis=0)
+    frames = jnp.asarray(np.asarray(make_combo_imu(
+        jnp.asarray(acc), jnp.asarray(ori), jnp.asarray(masks)[None])))
+
+    wall = timed_fetch(run, params, states, frames, reps=3)
+    fps = n_streams * n_frames / max(wall - rtt, 1e-9)
+    return {"metric": "combo_streaming_frames_per_sec",
+            "value": round(fps, 1), "unit": "frames/s",
+            "streams": n_streams, "combos": len(COMBO_MASKS)}
+
+
+def bench_train_throughput(net, params, rtt):
+    """Config 5: training-step throughput per module (windows/sec)."""
+    from mobileposer_tpu.train import init_train_state, make_optimizer
+    from mobileposer_tpu.train.trainer import loss_fn_for
+    import optax
+    B, T, R = 256, 125, 10
+    rng = np.random.RandomState(5)
+    batch = {
+        "imu": jnp.asarray(rng.randn(B, T, 60), jnp.float32) * 0.1,
+        "joints": jnp.asarray(rng.randn(B, T, 72), jnp.float32) * 0.1,
+        "pose_r6d": jnp.tile(jnp.array([1, 0, 0, 0, 1, 0], jnp.float32),
+                             (B, T, 24, 1)),
+        "vels": jnp.asarray(rng.randn(B, T, 72), jnp.float32),
+        "contacts": (jnp.asarray(rng.rand(B, T, 2)) > 0.5).astype(jnp.float32),
+        "lengths": jnp.full((B,), T, jnp.int32),
+    }
+    out = {}
+    for name in ("joints", "poser", "footcontact", "velocity"):
+        state = init_train_state(name, jax.random.PRNGKey(0), 1e-3)
+        opt = make_optimizer(name, 1e-3)
+        loss_fn = loss_fn_for(name, net.body_model if name == "poser" else None)
+
+        @jax.jit
+        def run(params, opt_state, batch, _loss_fn=loss_fn, _opt=opt):
+            def body(i, carry):
+                p, o = carry
+                key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+                loss, grads = jax.value_and_grad(
+                    lambda pp: _loss_fn(pp, batch, key, train=True))(p)
+                updates, o = _opt.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                return (p, o)
+            p, o = jax.lax.fori_loop(0, R, body, (params, opt_state))
+            return jax.tree_util.tree_leaves(p)[0].sum()
+
+        wall = timed_fetch(run, state.params, state.opt_state, batch, reps=3)
+        dt = max(wall - rtt, 1e-9) / R
+        out[name] = round(B / dt, 1)
+    return {"metric": "train_windows_per_sec", "value": out,
+            "unit": "windows(125f)/s", "batch": B}
+
+
+CONFIGS = {
+    "dip_pose_only": bench_dip_pose_only,
+    "full_net_offline": bench_full_net_offline,
+    "long_seq_drift": bench_long_seq_drift,
+    "combo_streaming": bench_combo_streaming,
+    "train_throughput": bench_train_throughput,
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="all",
+                        choices=["all"] + list(CONFIGS.keys()))
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    net = MobilePoserNet(ParametricModel.from_file_or_synthetic(None))
+    params = init_all_modules(jax.random.PRNGKey(0))
+    rtt = rtt_seconds()
+
+    names = list(CONFIGS) if args.config == "all" else [args.config]
+    report = {"device": str(jax.devices()[0]), "rtt_ms": round(rtt * 1e3, 2)}
+    for name in names:
+        result = CONFIGS[name](net, params, rtt)
+        report[name] = result
+        print(json.dumps({name: result}), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    main()

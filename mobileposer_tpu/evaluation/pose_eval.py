@@ -92,7 +92,7 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
     tran_errors: Dict[int, List[float]] = {w: [] for w in range(1, 8)}
 
     forward_offline = jax.jit(net.forward_offline)
-    forward_online = jax.jit(net.forward_online) if online else None
+    forward_online_seq = jax.jit(net.forward_online_sequence) if online else None
 
     for item in dataset:
         imu, pose_t, _, tran_t = item[0], item[1], item[2], item[3]
@@ -100,17 +100,15 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
         pose_p, joints_p, tran_p, _ = forward_offline(params, imu_j)
 
         if online:
+            # frame-by-frame protocol with `num_future_frames` of last-frame
+            # padding (reference: evaluate.py:62-64), as one scanned dispatch
             state = net.init_online_state()
             frames = np.concatenate(
                 [imu, np.repeat(imu[-1:], num_future_frames, axis=0)])
-            poses, trans = [], []
-            for f in frames:
-                (p, j, r, c), state = forward_online(
-                    params, state, jnp.asarray(f))
-                poses.append(p)
-                trans.append(r)
-            pose_po = np.stack([np.asarray(p) for p in poses])[num_future_frames:]
-            tran_po = np.stack([np.asarray(r) for r in trans])[num_future_frames:]
+            (poses, _, trans, _), _ = forward_online_seq(
+                params, state, jnp.asarray(frames))
+            pose_po = np.asarray(poses)[num_future_frames:]
+            tran_po = np.asarray(trans)[num_future_frames:]
             online_errs.append(evaluator.eval(pose_po, pose_t,
                                               tran_p=tran_po, tran_t=tran_t))
 

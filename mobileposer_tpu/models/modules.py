@@ -58,10 +58,12 @@ def init_all_modules(key: jax.Array, dtype=jnp.float32) -> dict:
 
 def module_apply(name: str, params: dict, x: jnp.ndarray,
                  lengths=None, h0c0=None, train: bool = False,
-                 dropout_rng=None, backend: str = "xla"):
+                 dropout_rng=None, backend: str = "xla",
+                 time_major: bool = False):
     """Run one module's RNN block. Returns (y, (h_T, c_T))."""
     return rnn_apply(params, MODULE_CONFIGS[name], x, lengths, h0c0,
-                     train=train, dropout_rng=dropout_rng, backend=backend)
+                     train=train, dropout_rng=dropout_rng, backend=backend,
+                     time_major=time_major)
 
 
 # ---------------------------------------------------------------------------

@@ -54,20 +54,35 @@ def prob_to_weight(p: jnp.ndarray) -> jnp.ndarray:
     return (jnp.clip(p, lo, hi) - lo) / (hi - lo)
 
 
+# joint j -> slot in [reduced_rot | identity]: position in the reduced list,
+# or the appended identity slot for non-reduced joints
+_GATHER_MAP = np.full(24, len(C.joint_set.reduced), np.int32)
+for _pos, _j in enumerate(C.joint_set.reduced):
+    _GATHER_MAP[_j] = _pos
+_IGNORED_MASK = np.zeros((24, 1, 1), np.float32)
+_IGNORED_MASK[list(C.joint_set.ignored)] = 1.0
+_ROOT_MASK = np.zeros((24, 1, 1), np.float32)
+_ROOT_MASK[0] = 1.0
+
+
 def reduced_global_to_full(reduced_r6d: jnp.ndarray,
                            body_model: ParametricModel) -> jnp.ndarray:
     """16-joint global r6d -> full 24-joint local rotations (net.py:93-99).
 
     r6d -> global rotmats at the reduced joints (identity elsewhere) -> IK to
     local -> identity at ignored joints -> root keeps its *global* rotation.
+    Assembled with gathers + masked selects (no scatters — scatters of
+    [N, 24, 3, 3] were ~1.3 ms per 11k frames on v5e; this path fuses).
     """
     n = reduced_r6d.shape[0]
     reduced_rot = R.r6d_to_rotation_matrix(reduced_r6d).reshape(n, -1, 3, 3)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=reduced_rot.dtype), (n, 24, 3, 3))
-    global_pose = eye.at[:, _REDUCED].set(reduced_rot)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=reduced_rot.dtype), (n, 1, 3, 3))
+    padded = jnp.concatenate([reduced_rot, eye], axis=1)     # [n, 17, 3, 3]
+    global_pose = jnp.take(padded, _GATHER_MAP, axis=1)      # [n, 24, 3, 3]
     local_pose = body_model.inverse_kinematics_R(global_pose)
-    local_pose = local_pose.at[:, _IGNORED].set(jnp.eye(3, dtype=local_pose.dtype))
-    return local_pose.at[:, 0].set(global_pose[:, 0])
+    eye24 = jnp.eye(3, dtype=local_pose.dtype)
+    local_pose = jnp.where(_IGNORED_MASK > 0, eye24, local_pose)
+    return jnp.where(_ROOT_MASK > 0, global_pose[:, 0:1], local_pose)
 
 
 def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
@@ -83,20 +98,25 @@ def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
     kernel on TPU (ops/lstm_pallas.py).
     """
     B, T, _ = imu.shape
-    pred_joints, _ = module_apply("joints", params["joints"], imu, lengths,
-                                  backend=backend)
-    x132 = jnp.concatenate([pred_joints, imu], axis=-1)
+    # Run the whole chain time-major [T, B, *]: the LSTM core is time-major
+    # internally, so chaining modules batch-major costs a transpose
+    # round-trip per module (~4 ms per 256x45 window on v5e).
+    imu_tm = jnp.swapaxes(imu, 0, 1)
+    pred_joints_tm, _ = module_apply("joints", params["joints"], imu_tm,
+                                     lengths, backend=backend, time_major=True)
+    x132 = jnp.concatenate([pred_joints_tm, imu_tm], axis=-1)
     pred_pose_r6d, _ = module_apply("poser", params["poser"], x132, lengths,
-                                    backend=backend)
+                                    backend=backend, time_major=True)
     pose_local = reduced_global_to_full(
-        pred_pose_r6d.reshape(B * T, -1), body_model).reshape(B, T, 24, 3, 3)
+        pred_pose_r6d.reshape(T * B, -1), body_model).reshape(T, B, 24, 3, 3)
     contact, _ = module_apply("footcontact", params["footcontact"], x132,
-                              lengths, backend=backend)
+                              lengths, backend=backend, time_major=True)
     if vel_h0c0 is None:
         vel_h0c0 = rnn_zero_state(MODULE_CONFIGS["velocity"], B, imu.dtype)
     vel, vel_hc = module_apply("velocity", params["velocity"], x132, lengths,
-                               h0c0=vel_h0c0, backend=backend)
-    return pose_local, pred_joints, vel, contact, vel_hc
+                               h0c0=vel_h0c0, backend=backend, time_major=True)
+    return (jnp.swapaxes(pose_local, 0, 1), jnp.swapaxes(pred_joints_tm, 0, 1),
+            jnp.swapaxes(vel, 0, 1), jnp.swapaxes(contact, 0, 1), vel_hc)
 
 
 def _fuse_velocity(joints: jnp.ndarray, vel: jnp.ndarray,
@@ -225,3 +245,100 @@ class MobilePoserNet:
             current_root_y=state.current_root_y + v_y,
             last_root_pos=state.last_root_pos + velocity)
         return (pose_t, joints, new_state.last_root_pos, contact), new_state
+
+    # -- batch-major multi-stream streaming --------------------------------
+    def init_online_state_batched(self, n_streams: int, dtype=jnp.float32
+                                  ) -> "MobilePoserNet.OnlineState":
+        """Streaming state for `n_streams` independent streams, stored
+        batch-major: every field gains a leading stream axis except the
+        velocity carry, which keeps the LSTM stack layout [2, S, 256].
+        Batch-major streaming is ~3x faster than vmapping the per-stream
+        step (vmap of a B=1 forward lays matmuls out poorly)."""
+        h, c = rnn_zero_state(MODULE_CONFIGS["velocity"], n_streams, dtype)
+        S = n_streams
+        return MobilePoserNet.OnlineState(
+            imu=jnp.zeros((S, NUM_TOTAL, C.model_config.n_imu), dtype),
+            initialized=jnp.zeros((S,), bool),
+            vel_h=h, vel_c=c,
+            last_lfoot=jnp.broadcast_to(self.feet_pos[0].astype(dtype), (S, 3)),
+            last_rfoot=jnp.broadcast_to(self.feet_pos[1].astype(dtype), (S, 3)),
+            current_root_y=jnp.zeros((S,), dtype),
+            last_root_pos=jnp.zeros((S, 3), dtype))
+
+    def forward_online_batched(self, params: dict,
+                               state: "MobilePoserNet.OnlineState",
+                               frames: jnp.ndarray):
+        """One streaming step for S streams at once. frames: [S, 60].
+
+        Identical per-stream semantics to `forward_online`, with the stream
+        axis as the forward batch. Returns ((pose [S,24,3,3], joints
+        [S,24,3], root [S,3], contact [S,2]), new_state)."""
+        S = frames.shape[0]
+        slid = jnp.concatenate([state.imu[:, 1:], frames[:, None]], axis=1)
+        fresh = jnp.broadcast_to(frames[:, None], (S, NUM_TOTAL, frames.shape[1]))
+        window = jnp.where(state.initialized[:, None, None], slid, fresh)
+
+        pose, joints_seq, vel, contact_seq, vel_hc = forward(
+            params, window, self.body_model,
+            vel_h0c0=(state.vel_h, state.vel_c))
+
+        pose_t = pose[:, NUM_PAST]
+        joints = joints_seq[:, NUM_PAST].reshape(S, 24, 3)
+        contact = contact_seq[:, NUM_PAST]
+
+        lfoot, rfoot = joints[:, 10], joints[:, 11]
+        contact_vel = jnp.where((contact[:, 0] > contact[:, 1])[:, None],
+                                state.last_lfoot - lfoot,
+                                state.last_rfoot - rfoot) + GRAVITY_VELOCITY
+        root_vel = vel[:, NUM_PAST].reshape(S, 24, 3)[:, 0] / VEL_SCALE_PER_FRAME
+        weight = prob_to_weight(jax.nn.sigmoid(contact.max(axis=1)))[:, None]
+        velocity = R.lerp(root_vel, contact_vel, weight)
+
+        current_foot_y = state.current_root_y + jnp.minimum(lfoot[:, 1],
+                                                            rfoot[:, 1])
+        v_y = jnp.where(current_foot_y + velocity[:, 1] <= self.floor_y,
+                        self.floor_y - current_foot_y, velocity[:, 1])
+        velocity = jnp.concatenate(
+            [velocity[:, :1], v_y[:, None], velocity[:, 2:]], axis=1)
+
+        new_state = MobilePoserNet.OnlineState(
+            imu=window,
+            initialized=jnp.ones((S,), bool),
+            vel_h=vel_hc[0], vel_c=vel_hc[1],
+            last_lfoot=lfoot, last_rfoot=rfoot,
+            current_root_y=state.current_root_y + v_y,
+            last_root_pos=state.last_root_pos + velocity)
+        return (pose_t, joints, new_state.last_root_pos, contact), new_state
+
+    def forward_online_sequence_batched(self, params: dict,
+                                        state: "MobilePoserNet.OnlineState",
+                                        frames: jnp.ndarray):
+        """S streams x N frames in one dispatch. frames: [N, S, 60]."""
+        def step(st, frame):
+            outputs, st = self.forward_online_batched(params, st, frame)
+            return st, outputs
+
+        state, (pose, joints, root, contact) = jax.lax.scan(step, state, frames)
+        return (pose, joints, root, contact), state
+
+    def forward_online_sequence(self, params: dict,
+                                state: "MobilePoserNet.OnlineState",
+                                frames: jnp.ndarray):
+        """Streaming over a whole frame sequence in ONE dispatch.
+
+        frames: [N, 60]. Semantically identical to N successive
+        `forward_online` calls (same sliding windows, same carried state),
+        but the frame loop is a `lax.scan` inside one jit region — this is
+        what makes the ONLINE evaluation protocol (evaluate.py:62-64)
+        fast on TPU: one compile, no per-frame host round-trips.
+
+        Returns ((pose [N,24,3,3], joints [N,24,3], root [N,3],
+        contact [N,2]), final_state).
+        """
+        def step(st, frame):
+            outputs, st = self.forward_online(params, st, frame)
+            return st, outputs
+
+        state, (pose, joints, root, contact) = jax.lax.scan(
+            step, state, frames)
+        return (pose, joints, root, contact), state

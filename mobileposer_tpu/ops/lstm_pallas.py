@@ -32,8 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 def _lstm_step_kernel(x_proj_ref, w_hh_ref, h0_ref, c0_ref,
                       ys_ref, h_out_ref, c_out_ref,
                       h_scratch, c_scratch):
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _():
@@ -76,22 +76,33 @@ def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
     H = H4 // 4
     dtype = x_proj.dtype
 
+    # Tile the batch so VMEM holds (x_proj block + w_hh + carries + double
+    # buffering) at any stream count; the carry scratch persists across the
+    # minor (time) grid dimension and resets at t == 0 per batch tile.
+    tile_b = B if B <= 512 else 512
+    while B % tile_b:
+        tile_b //= 2
+
     ys, h_t, c_t = pl.pallas_call(
         _lstm_step_kernel,
-        grid=(T,),
+        grid=(B // tile_b, T),
         in_specs=[
-            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, tile_b, H4), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, tile_b, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), dtype),
@@ -99,8 +110,8 @@ def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
             jax.ShapeDtypeStruct((B, H), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((tile_b, H), jnp.float32),
+            pltpu.VMEM((tile_b, H), jnp.float32),
         ],
         interpret=interpret,
     )(x_proj, w_hh, h0, c0)
@@ -109,13 +120,16 @@ def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
 
 def lstm_forward_pallas(params_layers, x: jnp.ndarray,
                         h0c0=None, bidirectional: bool = True,
-                        interpret: bool = False):
+                        interpret: bool = False, time_major: bool = False):
     """Multi-layer (bi)LSTM on the pallas kernel — full-length sequences
     (no masking; the XLA path in nn/lstm.py handles ragged batches).
 
     Mirrors `nn.lstm.lstm_forward` for lengths=None.
     """
-    B, T, _ = x.shape
+    if time_major:
+        T, B, _ = x.shape
+    else:
+        B, T, _ = x.shape
     n_dir = 2 if bidirectional else 1
     n_layers = len(params_layers)
     H = params_layers[0]["fwd"]["w_hh"].shape[0]
@@ -127,7 +141,7 @@ def lstm_forward_pallas(params_layers, x: jnp.ndarray,
     else:
         h0_all, c0_all = h0c0
 
-    xs = jnp.swapaxes(x, 0, 1)                          # [T, B, D]
+    xs = x if time_major else jnp.swapaxes(x, 0, 1)     # [T, B, D]
     h_finals, c_finals = [], []
     for li, layer in enumerate(params_layers):
         outs = []
@@ -145,7 +159,7 @@ def lstm_forward_pallas(params_layers, x: jnp.ndarray,
             h_finals.append(h_t)
             c_finals.append(c_t)
         xs = outs[0] if n_dir == 1 else jnp.concatenate(outs, axis=-1)
-    y = jnp.swapaxes(xs, 0, 1)
+    y = xs if time_major else jnp.swapaxes(xs, 0, 1)
     return y, (jnp.stack(h_finals), jnp.stack(c_finals))
 
 

@@ -165,3 +165,48 @@ def test_multiscale_velocity_loss_matches_loop():
             expected += np.mean((pred[:, m * n:end] - tgt[:, m * n:end]) ** 2)
     got = float(multiscale_velocity_loss(jnp.asarray(pred), jnp.asarray(tgt)))
     np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_forward_online_sequence_matches_loop(params, net):
+    """The scanned streaming path must equal N successive per-frame calls."""
+    N = 4
+    frames = jax.random.normal(jax.random.PRNGKey(7), (N, 60)) * 0.1
+    state = net.init_online_state()
+    step = jax.jit(net.forward_online)
+    poses, roots = [], []
+    st = state
+    for i in range(N):
+        (p, j, r, c), st = step(params, st, frames[i])
+        poses.append(np.asarray(p))
+        roots.append(np.asarray(r))
+    (pose_seq, joints_seq, root_seq, contact_seq), st2 = jax.jit(
+        net.forward_online_sequence)(params, state, frames)
+    np.testing.assert_allclose(np.asarray(pose_seq), np.stack(poses),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(root_seq), np.stack(roots),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st2.current_root_y),
+                               np.asarray(st.current_root_y), atol=2e-5)
+
+
+def test_forward_online_batched_matches_per_stream(params, net):
+    """Batch-major multi-stream streaming must equal independent per-stream
+    runs."""
+    S, N = 3, 3
+    frames = jax.random.normal(jax.random.PRNGKey(8), (N, S, 60)) * 0.1
+    bstate = net.init_online_state_batched(S)
+    run_b = jax.jit(net.forward_online_batched)
+    outs_b = []
+    for i in range(N):
+        out, bstate = run_b(params, bstate, frames[i])
+        outs_b.append([np.asarray(o) for o in out])
+
+    step = jax.jit(net.forward_online)
+    for s in range(S):
+        st = net.init_online_state()
+        for i in range(N):
+            (p, j, r, c), st = step(params, st, frames[i, s])
+        np.testing.assert_allclose(outs_b[N - 1][0][s], np.asarray(p),
+                                   atol=3e-5, err_msg=f"pose stream {s}")
+        np.testing.assert_allclose(outs_b[N - 1][2][s], np.asarray(r),
+                                   atol=3e-5, err_msg=f"root stream {s}")
