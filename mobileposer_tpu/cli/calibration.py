@@ -21,9 +21,11 @@ def main(argv=None) -> None:
     parser.add_argument("--calibrate-after", type=float, default=None,
                         help="run device mean-orientation calibration after "
                              "N seconds of ingest")
+    parser.add_argument("--native", action="store_true",
+                        help="use the C++ UDP ingest (GIL-free ring buffers)")
     args = parser.parse_args(argv)
 
-    frontend = SensorFrontend(log=args.log)
+    frontend = SensorFrontend(log=args.log, native=args.native)
     print("Sensor frontend listening on UDP 8001-8005, "
           "rebroadcasting to :7777. Ctrl-C to stop.")
     if args.calibrate_after:

