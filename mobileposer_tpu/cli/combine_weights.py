@@ -15,8 +15,11 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint-dir", required=True)
     parser.add_argument("--out", default=None)
+    parser.add_argument("--finetune", default=None,
+                        help="take joints/poser from finetuned_<dataset>")
     args = parser.parse_args(argv)
-    out = combine_weights(args.checkpoint_dir, args.out)
+    out = combine_weights(args.checkpoint_dir, args.out,
+                          finetune=args.finetune)
     print(f"Model written to {out}.")
 
 

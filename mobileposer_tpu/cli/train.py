@@ -30,6 +30,9 @@ def main(argv=None) -> None:
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--combine", action="store_true",
                         help="merge best checkpoints after training")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume each module from its train_state.npz "
+                             "in --checkpoint-dir (params + optimizer + epoch)")
     args = parser.parse_args(argv)
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
@@ -55,11 +58,16 @@ def main(argv=None) -> None:
         print("-" * 50)
         print(f"Training module: {name}")
         print("-" * 50)
+        resume_from = None
+        if args.resume:
+            ts = ckpt_path / name / "train_state.npz"
+            resume_from = ts if ts.exists() else None
         mgr.train_module(
             name, dataset, ckpt_path,
             init_params=init_params[name] if init_params else None,
             body_model=body if name == "poser" else None,
-            log_file=str(ckpt_path / "metrics.jsonl"))
+            log_file=str(ckpt_path / "metrics.jsonl"),
+            resume_from=resume_from)
 
     if args.combine:
         out = combine_weights(ckpt_path)

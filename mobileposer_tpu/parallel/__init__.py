@@ -1,5 +1,9 @@
 """Device-mesh / sharding helpers (GSPMD data parallelism)."""
 
+from mobileposer_tpu.parallel.distributed import (  # noqa: F401
+    host_local_batch_slice,
+    initialize_distributed,
+)
 from mobileposer_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     batch_sharding,

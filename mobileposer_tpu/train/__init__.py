@@ -13,4 +13,6 @@ from mobileposer_tpu.train.trainer import (  # noqa: F401
     make_eval_step,
     make_optimizer,
     make_train_step,
+    restore_training_state,
+    save_training_state,
 )

@@ -135,6 +135,35 @@ def get_best_checkpoint(directory) -> Optional[Path]:
     return Checkpointer(directory).best()
 
 
+# -- full-state checkpoint / resume (no reference equivalent: the reference
+# saves weights only and cannot resume optimizer state) ----------------------
+
+def save_training_state(path, module_name: str, state: TrainState,
+                        epoch: int) -> Path:
+    """Persist params + optimizer state + counters for exact resume."""
+    leaves, _ = jax.tree_util.tree_flatten(
+        (state.params, state.opt_state, state.step))
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    np.savez(path, __module__=module_name, __epoch__=epoch, **arrays)
+    return Path(path)
+
+
+def restore_training_state(path, lr: float):
+    """Restore (TrainState, next_epoch). The tree structure comes from a
+    fresh init of the same module, so restores survive refactors of array
+    contents but not of structure."""
+    z = np.load(path, allow_pickle=True)
+    module_name = str(z["__module__"])
+    epoch = int(z["__epoch__"])
+    template = init_train_state(module_name, jax.random.PRNGKey(0), lr)
+    _, treedef = jax.tree_util.tree_flatten(
+        (template.params, template.opt_state, template.step))
+    n = len([k for k in z.files if k.startswith("leaf_")])
+    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+    params, opt_state, step = jax.tree_util.tree_unflatten(treedef, leaves)
+    return TrainState(params, opt_state, step), module_name, epoch + 1
+
+
 def get_checkpoint_path(root=None) -> Path:
     """Next numbered run dir under checkpoints/ (reference: train.py:100-113)."""
     root = Path(root) if root else C.paths.checkpoint
@@ -162,17 +191,26 @@ class TrainingManager:
                      init_params: Optional[dict] = None,
                      body_model=None, seed: Optional[int] = None,
                      val_fraction: float = 0.1,
-                     log_file: Optional[str] = None) -> Dict:
+                     log_file: Optional[str] = None,
+                     resume_from=None) -> Dict:
         """Train one module over `dataset` (a PoseDataset). Returns dict with
         final params and loss history. 90/10 train/val split mirrors the
-        reference (data.py:151-153)."""
+        reference (data.py:151-153). `resume_from` restarts from a full
+        training-state checkpoint (params + optimizer + epoch); a
+        `train_state.npz` is refreshed every epoch for crash recovery."""
         h = self.hypers
         seed = h.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
         key, init_key = jax.random.split(key)
 
+        start_epoch = 0
         state = init_train_state(module_name, init_key, h.lr)
-        if init_params is not None:
+        if resume_from is not None:
+            state, ckpt_module, start_epoch = restore_training_state(
+                resume_from, h.lr)
+            assert ckpt_module == module_name, (
+                f"checkpoint is for {ckpt_module}, not {module_name}")
+        elif init_params is not None:
             state = state._replace(params=jax.tree_util.tree_map(
                 jnp.asarray, init_params))
         n_dev = len(self.mesh.devices.flatten())
@@ -201,7 +239,7 @@ class TrainingManager:
                 yield dataset._assemble(idxs[order[b0:b0 + bs]], W)
 
         step_i = 0
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses = []
             for batch in batches_from(train_idx, rng_np):
@@ -229,6 +267,8 @@ class TrainingManager:
             history["val_loss"].append(val_loss)
             if np.isfinite(val_loss):
                 ckpt.save(state.params, epoch, val_loss)
+            save_training_state(ckpt.dir / "train_state.npz", module_name,
+                                state, epoch)
             rec = {"module": module_name, "epoch": epoch,
                    "train_loss": train_loss, "val_loss": val_loss,
                    "seconds": round(time.time() - t0, 3)}
@@ -242,17 +282,24 @@ class TrainingManager:
                 "history": history, "checkpointer": ckpt}
 
 
-def combine_weights(checkpoint_path, out_path=None) -> Path:
+def combine_weights(checkpoint_path, out_path=None,
+                    finetune: Optional[str] = None) -> Path:
     """Merge each module's best checkpoint into one weights file
-    (reference: combine_weights.py:41-56)."""
+    (reference: combine_weights.py:41-56). With `finetune`, joints/poser
+    come from the finetuned_{dataset} subdir (combine_weights.py:27-31)."""
+    checkpoint_path = Path(checkpoint_path)
     combined = {}
     for name in MODULE_NAMES:
-        best = get_best_checkpoint(Path(checkpoint_path) / name)
+        module_dir = checkpoint_path / name
+        if finetune and name in ("poser", "joints"):
+            module_dir = checkpoint_path / f"finetuned_{finetune}" / name
+        best = get_best_checkpoint(module_dir)
         if best is None:
             raise FileNotFoundError(f"no checkpoint for module {name} "
-                                    f"in {checkpoint_path}")
+                                    f"in {module_dir}")
         combined[name] = load_from_npz(best)
-    out_path = Path(out_path or (Path(checkpoint_path) / "base_model.npz"))
+    default_name = "model_finetuned.npz" if finetune else "base_model.npz"
+    out_path = Path(out_path or (checkpoint_path / default_name))
     export_to_npz(combined, out_path)
     return out_path
 

@@ -108,3 +108,47 @@ def test_get_checkpoint_path(tmp_path):
     assert p1.name == "1"
     p1.mkdir()
     assert get_checkpoint_path(tmp_path).name == "2"
+
+
+def test_training_state_resume(dataset, tmp_path):
+    """Full-state checkpointing must resume exactly: optimizer state and
+    step counter included."""
+    from mobileposer_tpu.train import (
+        make_train_step, restore_training_state, save_training_state)
+    state = init_train_state("footcontact", jax.random.PRNGKey(0), lr=1e-3)
+    step = make_train_step("footcontact", lr=1e-3)
+    batch = dataset._assemble(np.arange(4), C.datasets.window_length)
+    key = jax.random.PRNGKey(9)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, _ = step(state, batch, sub)
+    save_training_state(tmp_path / "ts.npz", "footcontact", state, epoch=2)
+
+    restored, module, next_epoch = restore_training_state(
+        tmp_path / "ts.npz", lr=1e-3)
+    assert module == "footcontact"
+    assert next_epoch == 3
+    assert int(restored.step) == 3
+    # one more step from each must agree exactly
+    key2 = jax.random.PRNGKey(10)
+    s1, l1 = step(state, batch, key2)
+    s2, l2 = step(restored, batch, key2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_manager_resume(dataset, body, tmp_path):
+    """train_module(resume_from=...) continues at the saved epoch."""
+    hyp = C.TrainHypers(batch_size=4, num_epochs=2)
+    mgr = TrainingManager(hypers=hyp)
+    out = mgr.train_module("footcontact", dataset, tmp_path, body_model=body)
+    assert len(out["history"]["train_loss"]) == 2
+    ts = tmp_path / "footcontact" / "train_state.npz"
+    assert ts.exists()
+    mgr3 = TrainingManager(hypers=C.TrainHypers(batch_size=4, num_epochs=3))
+    out3 = mgr3.train_module("footcontact", dataset, tmp_path,
+                             body_model=body, resume_from=ts)
+    # resumed at epoch 2 -> exactly one more epoch
+    assert len(out3["history"]["train_loss"]) == 1
