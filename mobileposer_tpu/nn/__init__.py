@@ -16,6 +16,7 @@ from mobileposer_tpu.nn.rnn_with_init import (  # noqa: F401
 )
 from mobileposer_tpu.nn.torch_convert import (  # noqa: F401
     COMBINED_PREFIXES,
+    cast_params,
     convert_mobileposer_checkpoint,
     convert_rnn_state_dict,
     export_to_npz,

@@ -82,6 +82,20 @@ def convert_mobileposer_checkpoint(sd_or_path, configs: Mapping[str, LSTMConfig]
             for name in configs}
 
 
+def cast_params(params, dtype):
+    """Cast every float leaf of a params pytree (e.g. to bfloat16 for
+    inference — the MXU runs bf16 at 2x fp32 and halves HBM traffic; keep
+    fp32 for training and strict-parity evaluation)."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree_util.tree_map(cast, params)
+
+
 def export_to_npz(params: dict, path: str) -> None:
     """Flatten a converted params pytree into an .npz (torch-free reload)."""
     flat = {}

@@ -82,3 +82,44 @@ def test_physics_optimizer():
     rtr = np.einsum("jab,jcb->jac", np.asarray(p2), np.asarray(p2))
     np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), rtr.shape),
                                atol=1e-5)
+
+
+def test_cast_params_bf16_inference():
+    """bf16-cast params must run the composite and stay within bf16
+    tolerance of fp32."""
+    import jax.numpy as jnp
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.models import MobilePoserNet, forward, init_all_modules
+    from mobileposer_tpu.nn import cast_params
+    body = ParametricModel.synthetic(num_vertices=48)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    imu = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 60)) * 0.1
+    pose32, joints32, *_ = forward(params, imu, body)
+    p16 = cast_params(params, jnp.bfloat16)
+    pose16, joints16, *_ = forward(p16, imu.astype(jnp.bfloat16), body)
+    err = np.abs(np.asarray(joints16, np.float32) - np.asarray(joints32))
+    assert err.max() < 0.05   # bf16 has ~3 decimal digits
+
+
+def test_evaluate_helpers():
+    from mobileposer_tpu.utils.testing import (
+        evaluate_next_batch, evaluate_over_dataset)
+    batches = [{"x": np.full((2,), v)} for v in (1.0, 2.0, 3.0)]
+    predict = lambda b: b["x"] * 2
+    l1 = lambda p, b: np.mean(np.abs(p - b["x"]))
+    l2 = lambda p, b: np.mean((p - b["x"]) ** 2)
+    means = evaluate_over_dataset(predict, [l1, l2], batches)
+    np.testing.assert_allclose(means, [2.0, 14.0 / 3])
+    first = evaluate_next_batch(predict, [l1], batches)
+    np.testing.assert_allclose(first, [1.0])
+
+
+def test_orientation_monitor(capsys):
+    from mobileposer_tpu.stream import SensorData
+    from mobileposer_tpu.viz.orientation_monitor import OrientationMonitor
+    sd = SensorData()
+    sd.update_virtual(0, np.array([0.1, 0.2, 0.3]), np.array([0, 0, 0, 1.0]))
+    mon = OrientationMonitor(interval=0.0)
+    out = mon.render(sd)
+    assert out is not None and "Left_phone" in out
+    assert "0.10" in out
