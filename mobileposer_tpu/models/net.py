@@ -236,6 +236,8 @@ class MobilePoserNet:
         v_y = jnp.where(current_foot_y + velocity[1] <= self.floor_y,
                         self.floor_y - current_foot_y, velocity[1])
         velocity = velocity.at[1].set(v_y)
+        velocity = velocity.astype(state.last_root_pos.dtype)
+        v_y = v_y.astype(state.current_root_y.dtype)
 
         new_state = MobilePoserNet.OnlineState(
             imu=window,
@@ -300,6 +302,9 @@ class MobilePoserNet:
                         self.floor_y - current_foot_y, velocity[:, 1])
         velocity = jnp.concatenate(
             [velocity[:, :1], v_y[:, None], velocity[:, 2:]], axis=1)
+        # keep the carried state's dtype (f64/np constants promote bf16)
+        velocity = velocity.astype(state.last_root_pos.dtype)
+        v_y = v_y.astype(state.current_root_y.dtype)
 
         new_state = MobilePoserNet.OnlineState(
             imu=window,

@@ -37,13 +37,15 @@ def _lstm_step_kernel(x_proj_ref, w_hh_ref, h0_ref, c0_ref,
 
     @pl.when(t == 0)
     def _():
-        h_scratch[:] = h0_ref[:]
-        c_scratch[:] = c0_ref[:]
+        # the carry accumulates in fp32 regardless of the IO dtype
+        h_scratch[:] = h0_ref[:].astype(jnp.float32)
+        c_scratch[:] = c0_ref[:].astype(jnp.float32)
 
     h = h_scratch[:]
     c = c_scratch[:]
-    gates = x_proj_ref[0] + jnp.dot(h, w_hh_ref[:],
-                                    preferred_element_type=jnp.float32)
+    gates = x_proj_ref[0].astype(jnp.float32) + jnp.dot(
+        h.astype(x_proj_ref.dtype), w_hh_ref[:],
+        preferred_element_type=jnp.float32)
     H = h.shape[-1]
     i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
     f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
@@ -118,6 +120,106 @@ def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
     return ys, (h_t, c_t)
 
 
+def _bilstm_step_kernel(xf_ref, xb_ref, wf_ref, wb_ref,
+                        h0f_ref, c0f_ref, h0b_ref, c0b_ref,
+                        ysf_ref, ysb_ref,
+                        hf_out, cf_out, hb_out, cb_out,
+                        hf_s, cf_s, hb_s, cb_s):
+    """One grid step advances BOTH directions of a bidirectional layer.
+
+    The two cells are independent, so fusing them halves the number of
+    sequential kernel iterations per layer (the streaming path is
+    latency-bound on step count, not FLOPs) and lets the two recurrent
+    matmuls overlap on the MXU. The backward direction consumes
+    pre-reversed inputs and emits outputs to be un-reversed by the caller.
+    """
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        hf_s[:] = h0f_ref[:].astype(jnp.float32)
+        cf_s[:] = c0f_ref[:].astype(jnp.float32)
+        hb_s[:] = h0b_ref[:].astype(jnp.float32)
+        cb_s[:] = c0b_ref[:].astype(jnp.float32)
+
+    def cell(x_ref, w_ref, h_s, c_s):
+        h = h_s[:]
+        c = c_s[:]
+        gates = x_ref[0].astype(jnp.float32) + jnp.dot(
+            h.astype(x_ref.dtype), w_ref[:],
+            preferred_element_type=jnp.float32)
+        H = h.shape[-1]
+        i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+        f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_s[:] = h_new
+        c_s[:] = c_new
+        return h_new, c_new
+
+    hf, cf = cell(xf_ref, wf_ref, hf_s, cf_s)
+    hb, cb = cell(xb_ref, wb_ref, hb_s, cb_s)
+    ysf_ref[0] = hf.astype(ysf_ref.dtype)
+    ysb_ref[0] = hb.astype(ysb_ref.dtype)
+
+    @pl.when(t == T - 1)
+    def _():
+        hf_out[:] = hf.astype(hf_out.dtype)
+        cf_out[:] = cf.astype(cf_out.dtype)
+        hb_out[:] = hb.astype(hb_out.dtype)
+        cb_out[:] = cb.astype(cb_out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bilstm_layer_pallas(x_proj_f: jnp.ndarray, x_proj_b: jnp.ndarray,
+                        w_hh_f: jnp.ndarray, w_hh_b: jnp.ndarray,
+                        h0f, c0f, h0b, c0b, interpret: bool = False):
+    """Fused bidirectional LSTM layer scan.
+
+    x_proj_f / x_proj_b: [T, B, 4H] forward / (pre-reversed) backward input
+    projections. Returns (ys_f [T,B,H], ys_b [T,B,H] (still reversed),
+    (h_f, c_f), (h_b, c_b)).
+    """
+    T, B, H4 = x_proj_f.shape
+    H = H4 // 4
+    dtype = x_proj_f.dtype
+    tile_b = B if B <= 256 else 256
+    while B % tile_b:
+        tile_b //= 2
+
+    ts_spec = pl.BlockSpec((1, tile_b, H4), lambda b, t: (t, b, 0),
+                           memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((H, H4), lambda b, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((tile_b, H), lambda b, t: (b, 0),
+                          memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((1, tile_b, H), lambda b, t: (t, b, 0),
+                          memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _bilstm_step_kernel,
+        grid=(B // tile_b, T),
+        in_specs=[ts_spec, ts_spec, w_spec, w_spec,
+                  s_spec, s_spec, s_spec, s_spec],
+        out_specs=[y_spec, y_spec, s_spec, s_spec, s_spec, s_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), dtype),
+            jax.ShapeDtypeStruct((T, B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+            jax.ShapeDtypeStruct((B, H), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_b, H), jnp.float32)] * 4,
+        interpret=interpret,
+    )(x_proj_f, x_proj_b, w_hh_f, w_hh_b, h0f, c0f, h0b, c0b)
+    ys_f, ys_b, h_f, c_f, h_b, c_b = outs
+    return ys_f, ys_b, (h_f, c_f), (h_b, c_b)
+
+
 def lstm_forward_pallas(params_layers, x: jnp.ndarray,
                         h0c0=None, bidirectional: bool = True,
                         interpret: bool = False, time_major: bool = False):
@@ -144,21 +246,27 @@ def lstm_forward_pallas(params_layers, x: jnp.ndarray,
     xs = x if time_major else jnp.swapaxes(x, 0, 1)     # [T, B, D]
     h_finals, c_finals = [], []
     for li, layer in enumerate(params_layers):
-        outs = []
-        for di, dname in enumerate(["fwd", "bwd"][:n_dir]):
-            p = layer[dname]
-            inp = xs if dname == "fwd" else xs[::-1]
-            x_proj = inp @ p["w_ih"] + (p["b_ih"] + p["b_hh"])
-            sidx = li * n_dir + di
-            ys, (h_t, c_t) = lstm_layer_pallas(
-                x_proj, p["w_hh"], h0_all[sidx], c0_all[sidx],
+        if bidirectional:
+            pf, pb = layer["fwd"], layer["bwd"]
+            x_proj_f = xs @ pf["w_ih"] + (pf["b_ih"] + pf["b_hh"])
+            x_proj_b = xs[::-1] @ pb["w_ih"] + (pb["b_ih"] + pb["b_hh"])
+            s = li * 2
+            ys_f, ys_b, (hf, cf), (hb, cb) = bilstm_layer_pallas(
+                x_proj_f, x_proj_b, pf["w_hh"], pb["w_hh"],
+                h0_all[s], c0_all[s], h0_all[s + 1], c0_all[s + 1],
                 interpret=interpret)
-            if dname == "bwd":
-                ys = ys[::-1]
-            outs.append(ys)
+            xs = jnp.concatenate([ys_f, ys_b[::-1]], axis=-1)
+            h_finals += [hf, hb]
+            c_finals += [cf, cb]
+        else:
+            p = layer["fwd"]
+            x_proj = xs @ p["w_ih"] + (p["b_ih"] + p["b_hh"])
+            ys, (h_t, c_t) = lstm_layer_pallas(
+                x_proj, p["w_hh"], h0_all[li], c0_all[li],
+                interpret=interpret)
+            xs = ys
             h_finals.append(h_t)
             c_finals.append(c_t)
-        xs = outs[0] if n_dir == 1 else jnp.concatenate(outs, axis=-1)
     y = xs if time_major else jnp.swapaxes(xs, 0, 1)
     return y, (jnp.stack(h_finals), jnp.stack(c_finals))
 
