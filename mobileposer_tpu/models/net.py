@@ -156,13 +156,20 @@ class MobilePoserNet:
     """Binds parameters + SMPL body constants; all methods are pure in
     (params, inputs) and jit-compatible (reference class: net.py:22)."""
 
-    def __init__(self, body_model: Optional[ParametricModel] = None):
+    def __init__(self, body_model: Optional[ParametricModel] = None,
+                 online_sigmoid: bool = True):
         self.body_model = body_model or ParametricModel.from_file_or_synthetic(
             C.paths.smpl_file)
         j, _ = self.body_model.get_zero_pose_joint_and_vertex()
         self.j = j                                   # [24, 3] zero-pose joints
         self.feet_pos = j[10:12]                     # net.py:48
         self.floor_y = float(j[10:12, 1].min())      # net.py:49
+        # The reference's online path feeds RAW contact logits into the
+        # fusion weight while the offline path applies sigmoid first
+        # (net.py:196 vs net.py:143). We default to the consistent behavior;
+        # online_sigmoid=False reproduces the reference bit-for-bit for
+        # checkpoint-parity evaluations.
+        self.online_sigmoid = online_sigmoid
 
     # -- offline -----------------------------------------------------------
     def forward_offline(self, params: dict, imu: jnp.ndarray,
@@ -229,7 +236,9 @@ class MobilePoserNet:
                                 state.last_lfoot - lfoot,
                                 state.last_rfoot - rfoot) + GRAVITY_VELOCITY
         root_vel = vel[0, NUM_PAST].reshape(24, 3)[0] / VEL_SCALE_PER_FRAME
-        weight = prob_to_weight(jax.nn.sigmoid(contact.max()))
+        cmax = contact.max()
+        weight = prob_to_weight(
+            jax.nn.sigmoid(cmax) if self.online_sigmoid else cmax)
         velocity = R.lerp(root_vel, contact_vel, weight)
 
         current_foot_y = state.current_root_y + jnp.minimum(lfoot[1], rfoot[1])
@@ -293,7 +302,9 @@ class MobilePoserNet:
                                 state.last_lfoot - lfoot,
                                 state.last_rfoot - rfoot) + GRAVITY_VELOCITY
         root_vel = vel[:, NUM_PAST].reshape(S, 24, 3)[:, 0] / VEL_SCALE_PER_FRAME
-        weight = prob_to_weight(jax.nn.sigmoid(contact.max(axis=1)))[:, None]
+        cmax = contact.max(axis=1)
+        weight = prob_to_weight(
+            jax.nn.sigmoid(cmax) if self.online_sigmoid else cmax)[:, None]
         velocity = R.lerp(root_vel, contact_vel, weight)
 
         current_foot_y = state.current_root_y + jnp.minimum(lfoot[:, 1],
