@@ -96,3 +96,22 @@ def test_cli_overfit(workspace, body, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "parameters" in out
     assert "step    4" in out
+
+
+def test_cli_combiner_roundtrip(workspace, body):
+    """Recorded sessions merge into an npz that load_processed_file reads."""
+    import numpy as np
+    from mobileposer_tpu.cli import combiner as combiner_cli
+    from mobileposer_tpu.data import load_processed_file
+    T = 10
+    sess = workspace / "dev_1.npz"
+    np.savez(sess,
+             acc=np.random.randn(T, 5, 3).astype(np.float32),
+             ori=np.random.randn(T, 5, 4).astype(np.float32),
+             pose=np.tile(np.eye(3, dtype=np.float32), (T, 24, 1, 1)),
+             tran=np.zeros((T, 3), np.float32))
+    out = workspace / "combined.npz"
+    combiner_cli.main(["--sessions", str(sess), "--out", str(out)])
+    seqs = load_processed_file(out)
+    assert len(seqs) == 1
+    assert seqs[0]["acc"].shape == (T, 5, 3)
