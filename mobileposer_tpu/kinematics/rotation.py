@@ -25,6 +25,18 @@ from mobileposer_tpu.utils.precision import f32_matmuls
 _EPS = 1e-8
 
 
+def _safe_norm(x: jnp.ndarray, axis: int = -1, keepdims: bool = True):
+    """Norm whose gradient is finite at x == 0.
+
+    `jnp.linalg.norm` has a NaN gradient at the origin (d|x|/dx = x/|x|);
+    clamping the *squared* norm before the sqrt keeps both the value
+    (>= _EPS instead of 0) and the gradient finite — required because the
+    training losses differentiate through these conversions.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, _EPS * _EPS))
+
+
 class RotationRepresentation(enum.Enum):
     AXIS_ANGLE = 0
     ROTATION_MATRIX = 1
@@ -49,8 +61,8 @@ def normalize_tensor(x: jnp.ndarray, axis: int = -1, return_norm: bool = False):
     zero vectors (the reference patches NaNs to zero after the fact, e.g.
     angular.py:147; we fold that in).
     """
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    normalized = x / jnp.maximum(norm, _EPS)
+    norm = _safe_norm(x, axis=axis)
+    normalized = x / norm
     return (normalized, norm) if return_norm else normalized
 
 
@@ -90,8 +102,8 @@ def vector_cross_matrix(x: jnp.ndarray) -> jnp.ndarray:
 def axis_angle_to_rotation_matrix(a: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues formula (reference: angular.py:139-151). [N,3] -> [N,3,3]."""
     a = jnp.asarray(a).reshape(-1, 3)
-    angle = jnp.linalg.norm(a, axis=-1, keepdims=True)
-    axis = a / jnp.maximum(angle, _EPS)
+    angle = _safe_norm(a)
+    axis = a / angle
     c = jnp.cos(angle)[..., None]
     s = jnp.sin(angle)[..., None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=a.dtype), (a.shape[0], 3, 3))
@@ -183,8 +195,8 @@ def quaternion_to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
 def axis_angle_to_quaternion(a: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle -> quaternion wxyz (reference: angular.py:211-221)."""
     a = jnp.asarray(a).reshape(-1, 3)
-    angle = jnp.linalg.norm(a, axis=-1, keepdims=True)
-    axis = a / jnp.maximum(angle, _EPS)
+    angle = _safe_norm(a)
+    axis = a / angle
     return jnp.concatenate((jnp.cos(angle / 2), jnp.sin(angle / 2) * axis), -1)
 
 

@@ -192,6 +192,20 @@ class ParametricModel:
     def forward_kinematics_T(self, T_local):
         return S.forward_kinematics_T(T_local, self.parent)
 
+    def joint_positions_from_global(self, R_global):
+        """Positions from global rotations (fast position-only FK).
+
+        Precomputes the zero-pose bone vectors once per body.
+        """
+        if not hasattr(self, "_bone_vec_np"):
+            j = self._J - self._J[:1]
+            par = np.array([0 if p < 0 else p for p in self.parent])
+            bone = j - j[par]
+            bone[0] = j[0]
+            self._bone_vec_np = bone.astype(self._J.dtype)
+        return S.joint_positions_from_global(R_global, self._bone_vec_np,
+                                             self.parent)
+
     def inverse_kinematics_T(self, T_global):
         return S.inverse_kinematics_T(T_global, self.parent)
 

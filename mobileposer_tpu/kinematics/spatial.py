@@ -163,6 +163,30 @@ def inverse_kinematics_T(T_global: jnp.ndarray, parent: Sequence) -> jnp.ndarray
 
 
 @f32_matmuls
+def joint_positions_from_global(R_global: jnp.ndarray, bone_vec: jnp.ndarray,
+                                parent: Sequence) -> jnp.ndarray:
+    """Joint positions directly from GLOBAL rotations.
+
+    p[i] = p[parent[i]] + R_global[parent[i]] @ bone[i]; the rotation step
+    is fully parallel (one batched matvec over all joints), leaving only
+    the level-parallel prefix-add. Equivalent to inverse_kinematics_R
+    followed by full FK but skips every 3x3 matmul chain — this is the fast
+    path for position-only losses that already hold global rotations.
+
+    R_global: [..., J, 3, 3]; bone_vec: [J, 3] or [..., J, 3].
+    """
+    parent = _canon_parent(parent)
+    par = jnp.asarray([0 if p < 0 else p for p in parent])
+    R_par = jnp.take(R_global, par, axis=-3)
+    bone = jnp.broadcast_to(jnp.asarray(bone_vec, R_global.dtype),
+                            R_global.shape[:-2] + (3,))
+    rotated = (R_par @ bone[..., None])[..., 0]
+    # root keeps its unrotated offset (level-0 semantics of the fused FK)
+    rotated = rotated.at[..., 0, :].set(bone[..., 0, :])
+    return _forward_tree_add(rotated, parent)
+
+
+@f32_matmuls
 def forward_kinematics(R_local: jnp.ndarray, p_local: jnp.ndarray, parent: Sequence):
     """Fused (R, p) tree FK (spatial.py:280-309) without 4x4 matmuls.
 

@@ -180,9 +180,14 @@ def poser_loss(params, batch, rng, body_model=None, train: bool = True):
     loss = masked_mse(pred, tgt, lengths)
     loss = loss + T_WEIGHT * temporal_smoothness_loss(pred, 3, lengths)
     if body_model is not None:
-        from mobileposer_tpu.models.net import reduced_global_to_full
-        full = reduced_global_to_full(pred.reshape(B * T, -1), body_model)
-        _, joints_p = body_model.forward_kinematics(full.reshape(B * T, 216))
+        # Position loss directly from the predicted GLOBAL rotations: the
+        # reference IK's them to local and FK's back (poser.py:94-95) —
+        # identical positions, but the IK+rotation-FK round trip made this
+        # term 4.3x the rest of the step on v5e. The fast path is one
+        # parallel matvec + level-parallel adds.
+        from mobileposer_tpu.models.net import reduced_r6d_to_global
+        global_rot = reduced_r6d_to_global(pred.reshape(B * T, -1))
+        joints_p = body_model.joint_positions_from_global(global_rot)
         joints_p = joints_p.reshape(B, T, -1)
         loss = loss + masked_mse(joints_p, target_joints.reshape(B, T, -1), lengths)
     return loss

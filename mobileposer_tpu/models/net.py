@@ -65,6 +65,16 @@ _ROOT_MASK = np.zeros((24, 1, 1), np.float32)
 _ROOT_MASK[0] = 1.0
 
 
+def reduced_r6d_to_global(reduced_r6d: jnp.ndarray) -> jnp.ndarray:
+    """16-joint r6d -> full 24-joint GLOBAL rotations (identity at
+    non-reduced joints). Gather-assembled, no scatters."""
+    n = reduced_r6d.shape[0]
+    reduced_rot = R.r6d_to_rotation_matrix(reduced_r6d).reshape(n, -1, 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=reduced_rot.dtype), (n, 1, 3, 3))
+    padded = jnp.concatenate([reduced_rot, eye], axis=1)     # [n, 17, 3, 3]
+    return jnp.take(padded, _GATHER_MAP, axis=1)             # [n, 24, 3, 3]
+
+
 def reduced_global_to_full(reduced_r6d: jnp.ndarray,
                            body_model: ParametricModel) -> jnp.ndarray:
     """16-joint global r6d -> full 24-joint local rotations (net.py:93-99).
@@ -74,11 +84,7 @@ def reduced_global_to_full(reduced_r6d: jnp.ndarray,
     Assembled with gathers + masked selects (no scatters — scatters of
     [N, 24, 3, 3] were ~1.3 ms per 11k frames on v5e; this path fuses).
     """
-    n = reduced_r6d.shape[0]
-    reduced_rot = R.r6d_to_rotation_matrix(reduced_r6d).reshape(n, -1, 3, 3)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=reduced_rot.dtype), (n, 1, 3, 3))
-    padded = jnp.concatenate([reduced_rot, eye], axis=1)     # [n, 17, 3, 3]
-    global_pose = jnp.take(padded, _GATHER_MAP, axis=1)      # [n, 24, 3, 3]
+    global_pose = reduced_r6d_to_global(reduced_r6d)
     local_pose = body_model.inverse_kinematics_R(global_pose)
     eye24 = jnp.eye(3, dtype=local_pose.dtype)
     local_pose = jnp.where(_IGNORED_MASK > 0, eye24, local_pose)

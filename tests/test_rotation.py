@@ -154,3 +154,54 @@ class TestMisc:
         assert jitted(a).shape == (8, 3, 3)
         grad = jax.grad(lambda x: rot.axis_angle_to_rotation_matrix(x).sum())(a)
         assert np.isfinite(np.asarray(grad)).all()
+
+
+class TestGradientSafety:
+    """Gradients through the rotation math must be finite at the numerical
+    edges (zero vectors, near-pi rotations, degenerate r6d) — the poser's
+    FK position loss differentiates through all of it."""
+
+    def test_r6d_grad_finite_at_degenerate_inputs(self):
+        import jax
+        def loss(r6d):
+            return jnp.sum(rot.r6d_to_rotation_matrix(r6d) ** 2)
+        for r6d in [jnp.zeros((1, 6)),                         # all-zero
+                    jnp.array([[1., 0, 0, 1, 0, 0]]),          # parallel cols
+                    jnp.array([[1e-12, 0, 0, 0, 1e-12, 0]])]:  # tiny norm
+            g = jax.grad(loss)(r6d)
+            assert np.all(np.isfinite(np.asarray(g))), r6d
+
+    def test_axis_angle_grad_finite_at_zero_and_pi(self):
+        import jax
+        def loss(aa):
+            return jnp.sum(rot.axis_angle_to_rotation_matrix(aa) ** 2)
+        for aa in [jnp.zeros((1, 3)),
+                   jnp.array([[np.pi, 0.0, 0.0]]),
+                   jnp.array([[1e-10, 0.0, 0.0]])]:
+            g = jax.grad(loss)(aa)
+            assert np.all(np.isfinite(np.asarray(g))), aa
+
+    def test_log_map_grad_finite(self):
+        import jax
+        rots = rot.generate_random_rotation_matrix(jax.random.PRNGKey(0), 8)
+        def loss(r):
+            return jnp.sum(rot.rotation_matrix_to_axis_angle(r) ** 2)
+        g = jax.grad(loss)(rots)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_fuzz_round_trips_random_extremes(self):
+        import jax
+        rng = np.random.RandomState(7)
+        # angles clustered at the hard spots: ~0, ~pi, uniform
+        angles = np.concatenate([rng.uniform(0, 1e-6, 30),
+                                 np.pi - rng.uniform(0, 1e-6, 30),
+                                 rng.uniform(0, np.pi, 40)])
+        axes = rng.randn(100, 3)
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        aa = (axes * angles[:, None]).astype(np.float32)
+        mats = rot.axis_angle_to_rotation_matrix(jnp.asarray(aa))
+        back = rot.axis_angle_to_rotation_matrix(
+            rot.rotation_matrix_to_axis_angle(mats))
+        # compare as rotations (axis-angle is ambiguous at pi)
+        ang = np.asarray(rot.angle_between(mats, back))
+        assert np.all(ang < 5e-3), ang.max()

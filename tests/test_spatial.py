@@ -160,3 +160,31 @@ class TestSMPL:
         j0 = np.asarray(j0)
         floor_y = j0[10:12, 1].min()
         assert floor_y == j0[:, 1].min()
+
+
+class TestPositionsFromGlobal:
+    def test_matches_ik_fk_roundtrip(self):
+        """joint_positions_from_global(R_g) must equal FK positions of the
+        IK'd local pose (the path it replaces in the poser loss)."""
+        import jax
+        from mobileposer_tpu.kinematics import (
+            ParametricModel, inverse_kinematics_R)
+        from mobileposer_tpu.kinematics import rotation as rot
+        body = ParametricModel.synthetic(num_vertices=96)
+        n = 6
+        aa = jax.random.normal(jax.random.PRNGKey(0), (n * 24, 3)) * 0.3
+        R_local = rot.axis_angle_to_rotation_matrix(aa).reshape(n, 24, 3, 3)
+        R_global, joints_ref = body.forward_kinematics(R_local)
+        joints_fast = body.joint_positions_from_global(R_global)
+        np.testing.assert_allclose(np.asarray(joints_fast),
+                                   np.asarray(joints_ref), atol=1e-5)
+
+    def test_grad_finite(self):
+        import jax, jax.numpy as jnp
+        from mobileposer_tpu.kinematics import ParametricModel
+        body = ParametricModel.synthetic(num_vertices=96)
+        def loss(R_g):
+            return jnp.sum(body.joint_positions_from_global(R_g) ** 2)
+        R_g = jnp.broadcast_to(jnp.eye(3), (2, 24, 3, 3))
+        g = jax.grad(loss)(R_g)
+        assert np.all(np.isfinite(np.asarray(g)))
