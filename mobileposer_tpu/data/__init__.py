@@ -14,6 +14,7 @@ from mobileposer_tpu.data.synthesis import (  # noqa: F401
     synthesize_acceleration,
     synthesize_virtual_imu,
 )
+from mobileposer_tpu.data.prefetch import BatchPrefetcher  # noqa: F401
 from mobileposer_tpu.data.dataset import (  # noqa: F401
     COMBO_MASKS,
     COMBO_NAMES,

@@ -238,11 +238,13 @@ class TrainingManager:
             for b0 in range(0, len(order) - bs + 1, bs):
                 yield dataset._assemble(idxs[order[b0:b0 + bs]], W)
 
+        from mobileposer_tpu.data.prefetch import BatchPrefetcher
+
         step_i = 0
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses = []
-            for batch in batches_from(train_idx, rng_np):
+            for batch in BatchPrefetcher(batches_from(train_idx, rng_np)):
                 batch = pad_batch_to_multiple(batch, n_dev)
                 batch = shard_batch(batch, self.mesh)
                 key, sub = jax.random.split(key)

@@ -18,3 +18,9 @@ import jax  # noqa: E402
 # unit tests never compile over a device tunnel.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: the suite is compile-bound on this 1-core host;
+# caching compiled programs across runs cuts repeat wall time substantially.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

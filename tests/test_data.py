@@ -148,3 +148,19 @@ def test_make_combo_imu_matches_host_masking(fixture_file, body):
         jnp.asarray(w["acc"]), jnp.asarray(w["ori"]), jnp.asarray(mask)))
     host = ds.get(COMBO_NAMES.index("lw_rp"))["imu"]
     np.testing.assert_allclose(on_device, host, atol=1e-6)
+
+
+def test_batch_prefetcher():
+    from mobileposer_tpu.data import BatchPrefetcher
+    items = [{"i": i} for i in range(7)]
+    got = list(BatchPrefetcher(iter(items), depth=2))
+    assert got == items
+
+    def failing():
+        yield {"i": 0}
+        raise ValueError("worker boom")
+
+    pf = BatchPrefetcher(failing())
+    assert next(pf) == {"i": 0}
+    with pytest.raises(ValueError, match="worker boom"):
+        next(pf)
