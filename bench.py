@@ -18,7 +18,6 @@ Prints exactly one JSON line:
 import json
 import os
 import sys
-import time
 
 import numpy as np
 

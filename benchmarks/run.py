@@ -175,12 +175,33 @@ def bench_train_throughput(net, params, rtt):
             "unit": "windows(125f)/s", "batch": B}
 
 
+def bench_stream_latency(net, params, rtt):
+    """Single-stream per-frame device latency (the real-time metric: one
+    frame must fit in the 33 ms budget of a 30 Hz stream)."""
+    N = 100
+    state = net.init_online_state_batched(1)
+
+    @jax.jit
+    def run(params, state, frames):
+        (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
+            params, state, frames)
+        return root.sum()
+
+    frames = jnp.asarray(
+        np.random.RandomState(6).randn(N, 1, 60).astype(np.float32) * 0.1)
+    wall = timed_fetch(run, params, state, frames, reps=5)
+    per_frame_ms = max(wall - rtt, 1e-9) / N * 1e3
+    return {"metric": "single_stream_latency_ms", "value": round(per_frame_ms, 3),
+            "unit": "ms/frame", "budget_ms_at_30fps": 33.3}
+
+
 CONFIGS = {
     "dip_pose_only": bench_dip_pose_only,
     "full_net_offline": bench_full_net_offline,
     "long_seq_drift": bench_long_seq_drift,
     "combo_streaming": bench_combo_streaming,
     "train_throughput": bench_train_throughput,
+    "stream_latency": bench_stream_latency,
 }
 
 

@@ -9,8 +9,6 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-import jax
-
 from mobileposer_tpu import config as C
 from mobileposer_tpu.data import PoseDataset
 from mobileposer_tpu.kinematics.smpl import ParametricModel

@@ -12,7 +12,7 @@ stack exercises the same code paths as with real data.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

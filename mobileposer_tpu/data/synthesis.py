@@ -10,8 +10,7 @@ on-chip in one fused kernel — this is the "TPU datagen" path of SURVEY §7.6.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

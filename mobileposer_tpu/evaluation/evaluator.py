@@ -17,7 +17,6 @@ evaluators (evaluator.py:33-100). Differences by design:
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

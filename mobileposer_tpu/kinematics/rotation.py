@@ -15,8 +15,6 @@ passed in any shape reshapeable to [..., rep_dim].
 from __future__ import annotations
 
 import enum
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

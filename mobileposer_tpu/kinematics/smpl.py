@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -5,10 +5,6 @@ Behavioral parity target: reference `mobileposer/utils/model_utils.py`.
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Optional, Tuple
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -21,8 +21,6 @@ stay on the XLA path. Use `interpret=True` for CPU tests.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -20,7 +20,6 @@ import os
 from typing import Optional, Tuple
 
 import jax
-import numpy as np
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,

@@ -13,7 +13,7 @@ single-chip debugging, an 8-device CPU test mesh, and real pods.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

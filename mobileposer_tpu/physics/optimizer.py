@@ -19,11 +19,10 @@ rbdl-class solver would slot in.
 from __future__ import annotations
 
 import os
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def physics_enabled() -> bool:

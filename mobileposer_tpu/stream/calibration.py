@@ -16,8 +16,6 @@ All host-side numpy (the per-frame math is tiny and latency-bound);
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
-
 import numpy as np
 
 from mobileposer_tpu import config as C

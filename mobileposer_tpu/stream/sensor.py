@@ -9,8 +9,7 @@ numpy quaternion helpers (stream/quat_np.py).
 from __future__ import annotations
 
 import collections
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
