@@ -32,14 +32,31 @@ TARGET_FPS = C.datasets.fps
 _FK_MESH_CHUNK = 256
 
 
+# one jitted FK+LBS program per (body, with/without shape) — fresh jit
+# wrappers per sequence would recompile the ~90 s 6890-vertex program for
+# every sequence; with a cached program the shape vector is a traced arg
+_FK_MESH_CACHE: dict = {}
+
+
 def _fk_mesh_chunked(body: ParametricModel, pose: np.ndarray,
                      shape: Optional[np.ndarray], tran: Optional[np.ndarray]):
     """Chunked FK + LBS over a whole sequence; one compile per chunk shape."""
-    fk = jax.jit(lambda p, t: body.forward_kinematics(
-        p, shape=None, tran=t, calc_mesh=True))
-    if shape is not None:
-        fk = jax.jit(lambda p, t, s=jnp.asarray(shape): body.forward_kinematics(
-            p, shape=s, tran=t, calc_mesh=True))
+    key = (id(body), shape is not None)
+    if key not in _FK_MESH_CACHE:
+        if shape is None:
+            _FK_MESH_CACHE[key] = jax.jit(
+                lambda p, t: body.forward_kinematics(
+                    p, shape=None, tran=t, calc_mesh=True))
+        else:
+            _FK_MESH_CACHE[key] = jax.jit(
+                lambda p, t, s: body.forward_kinematics(
+                    p, shape=s, tran=t, calc_mesh=True))
+    fk_cached = _FK_MESH_CACHE[key]
+    if shape is None:
+        fk = fk_cached
+    else:
+        s_arr = jnp.asarray(shape)
+        fk = lambda p, t: fk_cached(p, t, s_arr)
     n = pose.shape[0]
     grots, joints, verts = [], [], []
     for i in range(0, n, _FK_MESH_CHUNK):
@@ -201,6 +218,7 @@ def process_totalcapture(body: Optional[ParametricModel] = None,
     subjects = ["S1", "S2", "S3", "S4", "S5"]
 
     accs, oris, poses, trans = [], [], [], []
+    failed_to_process = set()
     for file in sorted(os.listdir(calibrated_dir)):
         if (not file.endswith(".pkl")
                 or ("s5" in file and "acting3" in file)
@@ -215,14 +233,23 @@ def process_totalcapture(body: Optional[ParametricModel] = None,
         try:
             pose_aa = np.load(npz)["poses"].astype(np.float32).reshape(-1, 52, 3)
         except Exception:
+            # the trans loop below MUST skip this motion too, or every
+            # subsequent trans[i] pairs with the wrong sequence
+            # (reference: process.py:161-163, failed_to_process)
+            failed_to_process.add(f"{subject}_{activity}")
             print(f"Failed to process: {file}")
             continue
         pose_aa[:, 23] = pose_aa[:, 37]
         pose_aa = pose_aa[:, :24]
         n = min(acc.shape[0], pose_aa.shape[0])
         acc, ori, pose_aa = acc[:n], ori[:n], pose_aa[:n]
+        # align the AMASS global frame to DIP like the reference's
+        # preprocessed pose.pt (the calibrated IMU data is DIP-frame; raw
+        # AMASS is z-up): same rotation process_amass applies
+        aligned_aa, _ = S.align_amass_to_dip(
+            jnp.asarray(pose_aa), jnp.zeros((n, 3), np.float32))
         p = np.asarray(R.axis_angle_to_rotation_matrix(
-            jnp.asarray(pose_aa.reshape(-1, 3)))).reshape(-1, 24, 3, 3)
+            jnp.asarray(aligned_aa).reshape(-1, 3))).reshape(-1, 24, 3, 3)
         accs.append(acc); oris.append(ori); poses.append(p)
 
     # global positions from the official mocap (translation GT)
@@ -231,7 +258,9 @@ def process_totalcapture(body: Optional[ParametricModel] = None,
         if not sdir.exists():
             continue
         for motion in sorted(os.listdir(sdir)):
-            if (subject == "S5" and motion == "acting3") or motion.startswith("."):
+            if ((subject == "S5" and motion == "acting3")
+                    or motion.startswith(".")
+                    or f"{subject.lower()}_{motion}" in failed_to_process):
                 continue
             pos_path = sdir / motion / "gt_skel_gbl_pos.txt"
             with open(pos_path) as f:

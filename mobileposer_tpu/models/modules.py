@@ -181,12 +181,15 @@ def poser_loss(params, batch, rng, body_model=None, train: bool = True):
     loss = loss + T_WEIGHT * temporal_smoothness_loss(pred, 3, lengths)
     if body_model is not None:
         # Position loss directly from the predicted GLOBAL rotations: the
-        # reference IK's them to local and FK's back (poser.py:94-95) —
-        # identical positions, but the IK+rotation-FK round trip made this
-        # term 4.3x the rest of the step on v5e. The fast path is one
-        # parallel matvec + level-parallel adds.
+        # reference IK's them to local and FK's back (poser.py:94-95). With
+        # effective=True (non-reduced joints inherit their nearest reduced
+        # ancestor's global rotation — exactly what identity-local FK
+        # produces) the positions are identical, but this path is one
+        # parallel matvec + level-parallel adds instead of the IK + 3x3
+        # matmul chain, which was 4.3x the rest of the step on v5e.
         from mobileposer_tpu.models.net import reduced_r6d_to_global
-        global_rot = reduced_r6d_to_global(pred.reshape(B * T, -1))
+        global_rot = reduced_r6d_to_global(pred.reshape(B * T, -1),
+                                           effective=True)
         joints_p = body_model.joint_positions_from_global(global_rot)
         joints_p = joints_p.reshape(B, T, -1)
         loss = loss + masked_mse(joints_p, target_joints.reshape(B, T, -1), lengths)

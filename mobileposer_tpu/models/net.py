@@ -34,7 +34,7 @@ import numpy as np
 
 from mobileposer_tpu import config as C
 from mobileposer_tpu.kinematics import rotation as R
-from mobileposer_tpu.kinematics.smpl import ParametricModel
+from mobileposer_tpu.kinematics.smpl import SMPL_PARENTS, ParametricModel
 from mobileposer_tpu.models.modules import MODULE_CONFIGS, module_apply
 from mobileposer_tpu.nn.lstm import rnn_zero_state
 
@@ -59,17 +59,39 @@ def prob_to_weight(p: jnp.ndarray) -> jnp.ndarray:
 _GATHER_MAP = np.full(24, len(C.joint_set.reduced), np.int32)
 for _pos, _j in enumerate(C.joint_set.reduced):
     _GATHER_MAP[_j] = _pos
+
+# joint j -> reduced-list position of its NEAREST REDUCED ANCESTOR (itself if
+# reduced). This is each joint's *effective* global rotation after the
+# IK -> identity-at-ignored -> FK round trip the model performs: a
+# non-reduced joint inherits its reduced ancestor's global rotation (e.g.
+# foot 10 rotates with knee 4, not with identity).
+_EFFECTIVE_GATHER_MAP = np.zeros(24, np.int32)
+for _j in range(24):
+    _a = _j
+    while _a not in C.joint_set.reduced:
+        _a = SMPL_PARENTS[_a]
+    _EFFECTIVE_GATHER_MAP[_j] = list(C.joint_set.reduced).index(_a)
 _IGNORED_MASK = np.zeros((24, 1, 1), np.float32)
 _IGNORED_MASK[list(C.joint_set.ignored)] = 1.0
 _ROOT_MASK = np.zeros((24, 1, 1), np.float32)
 _ROOT_MASK[0] = 1.0
 
 
-def reduced_r6d_to_global(reduced_r6d: jnp.ndarray) -> jnp.ndarray:
-    """16-joint r6d -> full 24-joint GLOBAL rotations (identity at
-    non-reduced joints). Gather-assembled, no scatters."""
+def reduced_r6d_to_global(reduced_r6d: jnp.ndarray,
+                          effective: bool = False) -> jnp.ndarray:
+    """16-joint r6d -> full 24-joint GLOBAL rotations. Gather-assembled.
+
+    effective=False: identity at non-reduced joints (the raw assembly fed
+    into IK, matching reduced_pose_to_full semantics).
+    effective=True: each non-reduced joint inherits its nearest reduced
+    ancestor's rotation — the joint's actual global rotation after the
+    IK -> identity-at-ignored -> FK round trip; use this for position-only
+    FK so feet/hands move with knees/wrists like the full model does.
+    """
     n = reduced_r6d.shape[0]
     reduced_rot = R.r6d_to_rotation_matrix(reduced_r6d).reshape(n, -1, 3, 3)
+    if effective:
+        return jnp.take(reduced_rot, _EFFECTIVE_GATHER_MAP, axis=1)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=reduced_rot.dtype), (n, 1, 3, 3))
     padded = jnp.concatenate([reduced_rot, eye], axis=1)     # [n, 17, 3, 3]
     return jnp.take(padded, _GATHER_MAP, axis=1)             # [n, 24, 3, 3]

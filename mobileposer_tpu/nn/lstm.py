@@ -155,6 +155,11 @@ def _use_pallas(backend: str, bidirectional: bool, lengths) -> bool:
     bidirectional full-length layers (see ops/lstm_pallas.py); ragged
     batches and unidirectional scans stay on the XLA path."""
     if backend == "pallas":
+        if lengths is not None:
+            raise ValueError(
+                "backend='pallas' does not support ragged batches (lengths); "
+                "use backend='xla' or 'auto' — the kernel would silently "
+                "process padding as real frames")
         return True
     if backend != "auto" or lengths is not None:
         return False

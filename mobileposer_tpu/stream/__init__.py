@@ -14,6 +14,7 @@ from mobileposer_tpu.stream.sensor import (  # noqa: F401
 )
 from mobileposer_tpu.stream.calibration import (  # noqa: F401
     Calibration,
+    calibrate_frames,
     compute_device_calibration,
     compute_smpl2imu,
     identity_calibration,

@@ -67,16 +67,26 @@ def compute_device_calibration(smpl2imu: np.ndarray,
     return Calibration(np.asarray(smpl2imu), device2bone, acc_offsets)
 
 
+def calibrate_frames(cal: Calibration, quats_wxyz: np.ndarray,
+                     accs: np.ndarray):
+    """[T, 5, 4] wxyz quats + [T, 5, 3] accels -> calibrated global-frame
+    (glb_acc [T, 5, 3], glb_ori [T, 5, 3, 3]) in DEVICE slot order — the
+    quantities the reference records as dev data (live_demo.py:210-213,
+    266-275)."""
+    quats = np.asarray(quats_wxyz).reshape(-1, N_IMUS, 4)
+    accs = np.asarray(accs).reshape(-1, N_IMUS, 3)
+    ori_raw = Q.quat_to_matrix(quats[..., [1, 2, 3, 0]])      # [T, 5, 3, 3]
+    glb_acc = (cal.smpl2imu @ accs[..., None] - cal.acc_offsets)[..., 0]
+    glb_ori = cal.smpl2imu @ ori_raw @ cal.device2bone
+    return glb_acc, glb_ori
+
+
 def normalize_frames(cal: Calibration, quats_wxyz: np.ndarray,
                      accs: np.ndarray, combo: str = "lw_rp") -> np.ndarray:
     """[T, 5, 4] wxyz quats + [T, 5, 3] accels -> [T, 60] model input
     (reference: live_demo.py:210-232)."""
-    quats = np.asarray(quats_wxyz).reshape(-1, N_IMUS, 4)
-    accs = np.asarray(accs).reshape(-1, N_IMUS, 3)
-    T = quats.shape[0]
-    ori_raw = Q.quat_to_matrix(quats[..., [1, 2, 3, 0]])      # [T, 5, 3, 3]
-    glb_acc = (cal.smpl2imu @ accs[..., None] - cal.acc_offsets)[..., 0]
-    glb_ori = cal.smpl2imu @ ori_raw @ cal.device2bone
+    glb_acc, glb_ori = calibrate_frames(cal, quats_wxyz, accs)
+    T = glb_acc.shape[0]
 
     _acc = glb_acc[:, DEVICE_TO_MODEL_ORDER] / C.amass.acc_scale
     _ori = glb_ori[:, DEVICE_TO_MODEL_ORDER]

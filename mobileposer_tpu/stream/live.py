@@ -111,29 +111,43 @@ class LivePoser:
             record: bool = False, debug: bool = False):
         """Main loop (reference: live_demo.py:207-264)."""
         assert self.calibration is not None, "calibrate first"
+        from mobileposer_tpu.stream.calibration import calibrate_frames
         self.imu_set.start_reading()
         clock = Clock()
-        recorded = {"acc": [], "ori": [], "pose": [], "tran": []} if record else None
+        recorded = ({"acc": [], "ori": [], "raw_acc": [], "raw_ori": [],
+                     "pose": [], "tran": []} if record else None)
         t0 = time.time()
         try:
             while duration is None or time.time() - t0 < duration:
-                clock.tick(fps)
-                quat, acc = self.imu_set.get_current_buffer()
-                if quat.size == 0:
-                    continue
-                pose, joints, tran, contact = self.step_frame(quat[-1], acc[-1])
-                if unity is not None:
-                    unity.send(np.asarray(self._aa(pose)), np.asarray(tran))
-                if on_frame is not None:
-                    on_frame(pose, joints, tran, contact)
-                if recorded is not None:
-                    recorded["acc"].append(acc[-1])
-                    recorded["ori"].append(quat[-1])
-                    recorded["pose"].append(np.asarray(pose))
-                    recorded["tran"].append(np.asarray(tran))
-                if debug:
-                    print(f"\rSensor FPS {self.imu_set.clock.get_fps():5.1f}  "
-                          f"Output FPS {clock.get_fps():5.1f}", end="")
+                try:
+                    clock.tick(fps)
+                    quat, acc = self.imu_set.get_current_buffer()
+                    if quat.size == 0:
+                        continue
+                    pose, joints, tran, contact = self.step_frame(
+                        quat[-1], acc[-1])
+                    if unity is not None:
+                        unity.send(np.asarray(self._aa(pose)), np.asarray(tran))
+                    if on_frame is not None:
+                        on_frame(pose, joints, tran, contact)
+                    if recorded is not None:
+                        # reference dev-data schema (live_demo.py:266-275):
+                        # 'acc'/'ori' are CALIBRATED global accel + rotation
+                        # matrices in device slot order; raw wire values are
+                        # kept under raw_*
+                        glb_acc, glb_ori = calibrate_frames(
+                            self.calibration, quat[-1][None], acc[-1][None])
+                        recorded["acc"].append(glb_acc[0])
+                        recorded["ori"].append(glb_ori[0])
+                        recorded["raw_acc"].append(acc[-1])
+                        recorded["raw_ori"].append(quat[-1])
+                        recorded["pose"].append(np.asarray(pose))
+                        recorded["tran"].append(np.asarray(tran))
+                    if debug:
+                        print(f"\rSensor FPS {self.imu_set.clock.get_fps():5.1f}"
+                              f"  Output FPS {clock.get_fps():5.1f}", end="")
+                except KeyboardInterrupt:
+                    break          # stop requested: keep everything recorded
         finally:
             self.imu_set.stop_reading()
         if recorded is not None:

@@ -77,3 +77,36 @@ def test_model_utils():
     out = normalize_and_concat(jnp.zeros((4, 6, 3)), jnp.broadcast_to(
         jnp.eye(3), (4, 6, 3, 3)))
     assert out.shape == (4, 72)
+
+
+def test_live_recording_schema():
+    """record=True must produce the reference dev-data schema: calibrated
+    global rotation matrices + accels (device order) plus raw wire values."""
+    port = _free_port()
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    poser = LivePoser(net, params,
+                      imu_set=IMUSet(imu_host="127.0.0.1", imu_port=port,
+                                     buffer_len=2))
+    poser.set_calibration(identity_calibration())
+    T = 8
+    rng = np.random.RandomState(1)
+    acc = rng.normal(0, 0.05, (T, 5, 3))
+    quat = np.tile(np.array([0.0, 0, 0, 1.0]), (T, 5, 1))
+    rep = FrameReplayer(port=port)
+    sender = threading.Thread(
+        target=lambda: (time.sleep(0.3), rep.replay(acc, quat, fps=60)),
+        daemon=True)
+    sender.start()
+    recorded = poser.run(duration=2.0, fps=60, record=True)
+    sender.join()
+    assert recorded is not None and recorded["pose"].shape[0] >= 1
+    n = recorded["pose"].shape[0]
+    assert recorded["acc"].shape == (n, 5, 3)      # calibrated global accel
+    assert recorded["ori"].shape == (n, 5, 3, 3)   # calibrated rotmats
+    assert recorded["raw_ori"].shape == (n, 5, 4)  # wire quats
+    assert recorded["pose"].shape == (n, 24, 3, 3)
+    # with identity calibration, glb_ori equals the raw orientation matrix:
+    # identity quats -> identity matrices
+    np.testing.assert_allclose(recorded["ori"][0, 0], np.eye(3), atol=1e-6)

@@ -107,20 +107,27 @@ def test_process_totalcapture(tmp_path, body):
     with open(calibrated / "s1_acting1.pkl", "wb") as f:
         pickle.dump({"ori": rng.standard_normal((T, 6, 3, 3)),
                      "acc": rng.standard_normal((T, 6, 3))}, f)
+    # a motion with calibrated IMU + official mocap but NO AMASS npz: both
+    # loops must skip it or accs[i]/trans[i] pairing desynchronizes
+    with open(calibrated / "s1_aamissing.pkl", "wb") as f:
+        pickle.dump({"ori": rng.standard_normal((T, 6, 3, 3)),
+                     "acc": rng.standard_normal((T, 6, 3))}, f)
     amass = tmp_path / "amass_tc"
     (amass / "S1").mkdir(parents=True)
     np.savez(amass / "S1" / "acting1_poses.npz",
              poses=_rand_aa(rng, T), trans=np.zeros((T, 3), np.float32),
              betas=np.zeros(16, np.float32), mocap_framerate=np.float64(60))
     official = tmp_path / "tc_official"
-    (official / "S1" / "acting1").mkdir(parents=True)
     joints = ["LeftFoot", "RightFoot", "Spine", "Head"]
-    with open(official / "S1" / "acting1" / "gt_skel_gbl_pos.txt", "w") as f:
-        f.write("\t".join(joints) + "\t\n")
-        for t in range(T):
-            row = "\t".join(" ".join("%g" % v for v in rng.standard_normal(3))
-                            for _ in joints)
-            f.write(row + "\t\n")
+    for motion, rows in (("aamissing", T + 5), ("acting1", T)):
+        (official / "S1" / motion).mkdir(parents=True)
+        with open(official / "S1" / motion / "gt_skel_gbl_pos.txt", "w") as f:
+            f.write("\t".join(joints) + "\t\n")
+            for t in range(rows):
+                row = "\t".join(
+                    " ".join("%g" % v for v in rng.standard_normal(3))
+                    for _ in joints)
+                f.write(row + "\t\n")
     out = tmp_path / "eval"
     path = process_totalcapture(body=body, calibrated_dir=calibrated,
                                 raw_official_dir=official,

@@ -188,3 +188,27 @@ class TestPositionsFromGlobal:
         R_g = jnp.broadcast_to(jnp.eye(3), (2, 24, 3, 3))
         g = jax.grad(loss)(R_g)
         assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_effective_globals_match_reference_ik_fk_path(self):
+        """The poser loss's fast position path must equal the reference's
+        IK -> identity-at-ignored -> FK pipeline for RANDOM reduced
+        rotations (feet/hands must rotate with knees/wrists)."""
+        import jax, jax.numpy as jnp
+        from mobileposer_tpu import config as C
+        from mobileposer_tpu.kinematics import ParametricModel
+        from mobileposer_tpu.kinematics import rotation as rot
+        from mobileposer_tpu.models.net import (
+            reduced_global_to_full, reduced_r6d_to_global)
+        body = ParametricModel.synthetic(num_vertices=96)
+        n = 5
+        rots = rot.generate_random_rotation_matrix(
+            jax.random.PRNGKey(3), n * C.joint_set.n_reduced)
+        r6d = rot.rotation_matrix_to_r6d(rots).reshape(n, -1)
+        # reference-style: assemble -> IK -> identity at ignored -> FK
+        full_local = reduced_global_to_full(r6d, body)
+        _, joints_ref = body.forward_kinematics(full_local)
+        # fast path: effective globals -> positions
+        eff = reduced_r6d_to_global(r6d, effective=True)
+        joints_fast = body.joint_positions_from_global(eff)
+        np.testing.assert_allclose(np.asarray(joints_fast),
+                                   np.asarray(joints_ref), atol=1e-5)
