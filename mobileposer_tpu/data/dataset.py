@@ -204,20 +204,44 @@ class PoseDataset:
             idxs = order[b0:b0 + batch_size]
             yield self._assemble(idxs, W)
 
+    def _build_monolith(self, W: int) -> None:
+        """Stack all windows into zero-padded arrays once, so batch assembly
+        is pure fancy indexing (a per-sample Python loop cost ~seconds per
+        256-batch on a 1-core host — it dominated small-model epochs)."""
+        n = len(self.windows)
+        self._mono = {
+            "acc": np.zeros((n, W, 5, 3), np.float32),
+            "ori": np.zeros((n, W, 5, 3, 3), np.float32),
+            "pose_r6d": np.zeros((n, W, 24, 6), np.float32),
+            "joints": np.zeros((n, W, 72), np.float32),
+            "tran": np.zeros((n, W, 3), np.float32),
+            "vels": np.zeros((n, W, 72), np.float32),
+            "contacts": np.zeros((n, W, 2), np.float32),
+        }
+        self._mono_lengths = np.zeros((n,), np.int32)
+        for i, w in enumerate(self.windows):
+            L = min(w["acc"].shape[0], W)
+            self._mono_lengths[i] = L
+            for k in self._mono:
+                self._mono[k][i, :L] = w[k][:L]
+        self._mono_W = W
+
     def _assemble(self, idxs, W: int) -> Dict[str, np.ndarray]:
+        if getattr(self, "_mono_W", None) != W:
+            self._build_monolith(W)
+        idxs = np.asarray(idxs)
+        win = idxs // len(self.combo_names)
+        combo = idxs % len(self.combo_names)
+        mask = self.combo_masks[combo]                       # [B, 5]
+        acc = self._mono["acc"][win] * mask[:, None, :, None]
+        ori = self._mono["ori"][win] * mask[:, None, :, None, None]
         B = len(idxs)
-        keys = ("imu", "pose_r6d", "joints", "tran", "vels", "contacts")
-        shapes = {"imu": (W, 60), "pose_r6d": (W, 24, 6), "joints": (W, 72),
-                  "tran": (W, 3), "vels": (W, 72), "contacts": (W, 2)}
-        out = {k: np.zeros((B,) + shapes[k], np.float32) for k in keys}
-        lengths = np.zeros((B,), np.int32)
-        for bi, idx in enumerate(idxs):
-            s = self.get(int(idx))
-            L = s["imu"].shape[0]
-            lengths[bi] = L
-            for k in keys:
-                out[k][bi, :L] = s[k]
-        out["lengths"] = lengths
+        imu = np.concatenate([acc.reshape(B, W, 15),
+                              ori.reshape(B, W, 45)], axis=2)
+        out = {k: self._mono[k][win]
+               for k in ("pose_r6d", "joints", "tran", "vels", "contacts")}
+        out["imu"] = imu
+        out["lengths"] = self._mono_lengths[win]
         return out
 
 

@@ -107,6 +107,12 @@ class Checkpointer:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.top_k = top_k
 
+    def should_save(self, val_loss: float) -> bool:
+        """True when val_loss would enter the top-k (avoids writing a
+        multi-MB checkpoint every epoch only to prune it)."""
+        cands = self._candidates()
+        return len(cands) < self.top_k or val_loss < cands[-1][0]
+
     def save(self, params: dict, epoch: int, val_loss: float) -> Path:
         path = self.dir / f"epoch={epoch}-valloss={val_loss:.4f}.npz"
         export_to_npz(jax.tree_util.tree_map(np.asarray, params), path)
@@ -267,10 +273,14 @@ class TrainingManager:
 
             history["train_loss"].append(train_loss)
             history["val_loss"].append(val_loss)
-            if np.isfinite(val_loss):
+            if np.isfinite(val_loss) and ckpt.should_save(val_loss):
                 ckpt.save(state.params, epoch, val_loss)
-            save_training_state(ckpt.dir / "train_state.npz", module_name,
-                                state, epoch)
+            # full-state snapshot for crash recovery: every 5 epochs + last
+            # (each write is tens of MB — per-epoch writes dominated small
+            # epochs on this host)
+            if epoch % 5 == 4 or epoch == epochs - 1:
+                save_training_state(ckpt.dir / "train_state.npz", module_name,
+                                    state, epoch)
             rec = {"module": module_name, "epoch": epoch,
                    "train_loss": train_loss, "val_loss": val_loss,
                    "seconds": round(time.time() - t0, 3)}

@@ -210,3 +210,38 @@ def test_forward_online_batched_matches_per_stream(params, net):
                                    atol=3e-5, err_msg=f"pose stream {s}")
         np.testing.assert_allclose(outs_b[N - 1][2][s], np.asarray(r),
                                    atol=3e-5, err_msg=f"root stream {s}")
+
+
+def test_sharded_streaming_matches_single_device(params, net):
+    """Serving scale-out: the batched streaming step must run with streams
+    sharded over the 8-device mesh and agree with the unsharded result."""
+    from mobileposer_tpu.parallel import make_mesh, replicate_params, shard_batch
+    mesh = make_mesh()
+    S, N = 8, 2
+    frames = jax.random.normal(jax.random.PRNGKey(11), (N, S, 60)) * 0.1
+
+    run = jax.jit(net.forward_online_sequence_batched)
+    state0 = net.init_online_state_batched(S)
+    (pose_ref, _, root_ref, _), _ = run(params, state0, frames)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    p_rep = replicate_params(params, mesh)
+
+    def shard_state_leaf(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == S:          # stream axis leading
+            return jax.device_put(x, NamedSharding(mesh, P("data")))
+        if x.ndim >= 2 and x.shape[1] == S:          # velocity carry [2,S,H]
+            return jax.device_put(x, NamedSharding(mesh, P(None, "data")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    state_sh = jax.tree_util.tree_map(shard_state_leaf,
+                                      net.init_online_state_batched(S))
+    frames_sh = jax.device_put(np.asarray(frames),
+                               NamedSharding(mesh, P(None, "data")))
+    (pose_sh, _, root_sh, _), _ = run(p_rep, state_sh, frames_sh)
+
+    np.testing.assert_allclose(np.asarray(root_sh), np.asarray(root_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pose_sh), np.asarray(pose_ref),
+                               atol=2e-5)
