@@ -7,6 +7,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 from mobileposer_tpu import config as C
 from mobileposer_tpu.data import EvalSequence, PoseDataset
@@ -25,7 +26,9 @@ def main(argv=None) -> None:
     parser.add_argument("--combo", default="lw_rp",
                         choices=list(C.COMBOS.keys()))
     parser.add_argument("--online", action="store_true",
-                        help="also run frame-by-frame streaming eval")
+                        default=bool(os.environ.get("ONLINE")),
+                        help="also run frame-by-frame streaming eval "
+                             "(or set ONLINE=1, reference-style)")
     parser.add_argument("--tran", action="store_true",
                         help="report translation drift at 1-7 m")
     args = parser.parse_args(argv)

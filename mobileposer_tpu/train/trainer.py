@@ -81,6 +81,13 @@ def make_train_step(module_name: str, lr: float, body_model=None):
         loss, grads = jax.value_and_grad(compute)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # failure containment: a non-finite loss (bad batch, overflow) must
+        # not poison the parameters — keep the previous state and surface
+        # the bad loss to the caller's logs instead of NaN-ing the run
+        ok = jnp.isfinite(loss)
+        params, opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old),
+            (params, opt_state), (state.params, state.opt_state))
         return TrainState(params, opt_state, state.step + 1), loss
 
     return jax.jit(step, donate_argnums=(0,))

@@ -152,3 +152,21 @@ def test_training_manager_resume(dataset, body, tmp_path):
                              body_model=body, resume_from=ts)
     # resumed at epoch 2 -> exactly one more epoch
     assert len(out3["history"]["train_loss"]) == 1
+
+
+def test_nan_loss_does_not_poison_params(dataset):
+    """A batch producing a non-finite loss must leave parameters and
+    optimizer state untouched (failure containment)."""
+    state = init_train_state("joints", jax.random.PRNGKey(0), lr=1e-3)
+    step = make_train_step("joints", lr=1e-3)
+    batch = dataset._assemble(np.arange(2), C.datasets.window_length)
+    bad = dict(batch, imu=np.full_like(batch["imu"], np.nan))
+    params_before = jax.tree_util.tree_map(np.asarray, state.params)
+    state2, loss = step(state, bad, jax.random.PRNGKey(1))
+    assert not np.isfinite(float(loss))
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and training continues normally afterwards
+    state3, loss3 = step(state2, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss3))
