@@ -70,7 +70,7 @@ def bench_full_net_offline(net, params, rtt):
         def body(_, imu):
             _, _, tran, _ = net.forward_offline(params, imu)
             return imu + tran[-1, 0] * 1e-12
-        out = jax.lax.fori_loop(0, R, body, imu0)
+        out = jax.lax.fori_loop(0, R, body, imu)
         return out.sum()
 
     wall = timed_fetch(run, params, imu0, reps=3)

@@ -7,7 +7,6 @@
 from __future__ import annotations
 
 import argparse
-import os
 
 from mobileposer_tpu import config as C
 from mobileposer_tpu.data import EvalSequence, PoseDataset
@@ -26,7 +25,6 @@ def main(argv=None) -> None:
     parser.add_argument("--combo", default="lw_rp",
                         choices=list(C.COMBOS.keys()))
     parser.add_argument("--online", action="store_true",
-                        default=bool(os.environ.get("ONLINE")),
                         help="also run frame-by-frame streaming eval "
                              "(or set ONLINE=1, reference-style)")
     parser.add_argument("--tran", action="store_true",
@@ -38,7 +36,9 @@ def main(argv=None) -> None:
     net = MobilePoserNet(body)
     ds = PoseDataset(fold="test", evaluate=args.dataset, body_model=body)
     view = EvalSequence(ds, combo=args.combo)
-    evaluate_pose(net, params, view, online=args.online,
+    from mobileposer_tpu.utils.helpers import getenv_flag
+    evaluate_pose(net, params, view,
+                  online=args.online or getenv_flag("ONLINE"),
                   evaluate_tran=args.tran)
 
 

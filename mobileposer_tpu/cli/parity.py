@@ -47,10 +47,15 @@ def main(argv=None) -> None:
                              "online fusion weight)")
     args = parser.parse_args(argv)
 
+    import os
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
-    if not str(C.paths.smpl_file) or body.num_vertices != 6890:
-        print("WARNING: official SMPL file not found — metrics will not be "
-              "comparable (set MP_SMPL_FILE)")
+    if not os.path.exists(str(C.paths.smpl_file)):
+        print("WARNING: official SMPL file not found — running on the "
+              "synthetic fixture body; metrics are NOT comparable to the "
+              "reference (set MP_SMPL_FILE)")
+        if args.reference_metrics:
+            raise SystemExit("refusing to compare against reference metrics "
+                             "without the official SMPL body")
     params = load_model(args.torch_checkpoint)
     net = MobilePoserNet(body, online_sigmoid=not args.compat)
     ds = PoseDataset(fold="test", evaluate=args.dataset, body_model=body)

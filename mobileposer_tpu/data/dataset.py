@@ -41,22 +41,20 @@ for _i, _slots in enumerate(C.COMBOS.values()):
 
 _FK_CHUNK = 1024  # frames per jitted FK call (fixed shape => one compile)
 
-# one jitted FK program per body — a fresh jax.jit wrapper per sequence
-# would miss the jit cache (keyed on function identity) and recompile for
-# every sequence in the dataset
-_FK_CACHE: dict = {}
-
 
 def _chunked_fk(body_model: ParametricModel, pose: np.ndarray):
     """FK over [N, 24, 3, 3] local poses in fixed-size chunks.
 
+    The jitted program is cached ON the body instance — a fresh jax.jit
+    wrapper per sequence would recompile per sequence, and an id()-keyed
+    module cache would retain every body (and its executable) forever.
+
     Returns (global rotations [N,24,3,3], joints [N,24,3]) as numpy.
     """
-    key = id(body_model)
-    if key not in _FK_CACHE:
-        _FK_CACHE[key] = jax.jit(
-            lambda p: body_model.forward_kinematics(p))
-    fk = _FK_CACHE[key]
+    fk = getattr(body_model, "_fk_jit", None)
+    if fk is None:
+        fk = jax.jit(lambda p: body_model.forward_kinematics(p))
+        body_model._fk_jit = fk
     n = pose.shape[0]
     grots, joints = [], []
     for i in range(0, n, _FK_CHUNK):

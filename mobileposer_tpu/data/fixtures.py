@@ -32,19 +32,17 @@ def smooth_random_pose(rng: np.random.Generator, T: int,
     return np.asarray(rot).reshape(T, 24, 3, 3)
 
 
-_jitted_synth = {}
-
-
 def _synth_jit(body_model):
-    """One jitted synthesis program per body (avoids eager per-op dispatch,
-    which is pathologically slow on tunneled devices)."""
-    key = id(body_model)
-    if key not in _jitted_synth:
+    """One jitted synthesis program per body, cached on the instance
+    (avoids eager per-op dispatch, which is pathologically slow on tunneled
+    devices, without retaining bodies in a module-global cache)."""
+    fn = getattr(body_model, "_synth_jit", None)
+    if fn is None:
         import jax
-        _jitted_synth[key] = jax.jit(
-            lambda pose, tran: synthesize_virtual_imu(body_model, pose,
-                                                      tran=tran))
-    return _jitted_synth[key]
+        fn = jax.jit(lambda pose, tran: synthesize_virtual_imu(
+            body_model, pose, tran=tran))
+        body_model._synth_jit = fn
+    return fn
 
 
 def synthetic_sequence(body_model: ParametricModel, rng: np.random.Generator,

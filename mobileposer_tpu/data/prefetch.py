@@ -19,11 +19,16 @@ _SENTINEL = object()
 
 
 class BatchPrefetcher:
-    """Wrap any batch iterable; prefetch up to `depth` batches ahead."""
+    """Wrap any batch iterable; prefetch up to `depth` batches ahead.
+
+    `close()` stops the worker even when the consumer abandons iteration
+    early (without it, a worker blocked on a full queue would pin the
+    generator and its batches for the process lifetime)."""
 
     def __init__(self, batches: Iterable, depth: int = 2):
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._error: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._fill, args=(iter(batches),), daemon=True)
         self._thread.start()
@@ -31,11 +36,37 @@ class BatchPrefetcher:
     def _fill(self, it: Iterator) -> None:
         try:
             for batch in it:
-                self._queue.put(batch)
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:       # surface worker errors to consumer
             self._error = e
         finally:
-            self._queue.put(_SENTINEL)
+            try:
+                self._queue.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
+
+    def close(self) -> None:
+        """Stop the worker; safe to call multiple times / after exhaustion."""
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self

@@ -32,26 +32,24 @@ TARGET_FPS = C.datasets.fps
 _FK_MESH_CHUNK = 256
 
 
-# one jitted FK+LBS program per (body, with/without shape) — fresh jit
-# wrappers per sequence would recompile the ~90 s 6890-vertex program for
-# every sequence; with a cached program the shape vector is a traced arg
-_FK_MESH_CACHE: dict = {}
-
-
 def _fk_mesh_chunked(body: ParametricModel, pose: np.ndarray,
                      shape: Optional[np.ndarray], tran: Optional[np.ndarray]):
-    """Chunked FK + LBS over a whole sequence; one compile per chunk shape."""
-    key = (id(body), shape is not None)
-    if key not in _FK_MESH_CACHE:
+    """Chunked FK + LBS over a whole sequence; one compile per chunk shape.
+
+    The jitted programs are cached ON the body instance (fresh jit wrappers
+    per sequence would recompile the ~90 s 6890-vertex program for every
+    sequence); the shape vector is a traced argument, not a baked constant.
+    """
+    attr = "_fk_mesh_shape_jit" if shape is not None else "_fk_mesh_jit"
+    fk_cached = getattr(body, attr, None)
+    if fk_cached is None:
         if shape is None:
-            _FK_MESH_CACHE[key] = jax.jit(
-                lambda p, t: body.forward_kinematics(
-                    p, shape=None, tran=t, calc_mesh=True))
+            fk_cached = jax.jit(lambda p, t: body.forward_kinematics(
+                p, shape=None, tran=t, calc_mesh=True))
         else:
-            _FK_MESH_CACHE[key] = jax.jit(
-                lambda p, t, s: body.forward_kinematics(
-                    p, shape=s, tran=t, calc_mesh=True))
-    fk_cached = _FK_MESH_CACHE[key]
+            fk_cached = jax.jit(lambda p, t, s: body.forward_kinematics(
+                p, shape=s, tran=t, calc_mesh=True))
+        setattr(body, attr, fk_cached)
     if shape is None:
         fk = fk_cached
     else:
@@ -277,9 +275,18 @@ def process_totalcapture(body: Optional[ParametricModel] = None,
             pos[:, :, 2] *= -1
             trans.append(pos[:, 2] - pos[:1, 2])
 
+    # pairing guard (reference: process.py:202-205): both lists were built
+    # over the same motion set in the same sorted order; any mismatch means
+    # silently mispaired translation GT, so fail loudly
+    assert len(accs) == len(trans), (
+        f"TotalCapture pairing desync: {len(accs)} IMU sequences vs "
+        f"{len(trans)} mocap translations")
     for i in range(len(accs)):
         if accs[i].shape[0] < trans[i].shape[0]:
             trans[i] = trans[i][:accs[i].shape[0]]
+        assert trans[i].shape[0] == accs[i].shape[0], (
+            f"sequence {i}: trans has {trans[i].shape[0]} frames, "
+            f"imu has {accs[i].shape[0]}")
         # remove per-channel accel bias vs synthetic accel (process.py:207-214)
         _, _, vert = _fk_mesh_chunked(body, poses[i], None, trans[i])
         vi = S.tracked_vertex_indices(body.num_vertices)

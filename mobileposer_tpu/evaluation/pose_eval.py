@@ -94,10 +94,25 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
     forward_offline = jax.jit(net.forward_offline)
     forward_online_seq = jax.jit(net.forward_online_sequence) if online else None
 
+    # Pad every sequence to a 512-frame bucket so one compiled program
+    # serves any length (jit specializes on T; per-sequence compiles cost
+    # seconds each over slow transports). Outputs are sliced to the true
+    # length; all streaming/fusion state flows forward in time, so the
+    # valid prefix is identical to an unpadded run.
+    BUCKET = 512
+
+    def _pad_bucket(x):
+        n = x.shape[0]
+        n_pad = max(BUCKET, -(-n // BUCKET) * BUCKET)
+        return np.concatenate(
+            [x, np.repeat(x[-1:], n_pad - n, axis=0)]), n
+
     for item in dataset:
         imu, pose_t, _, tran_t = item[0], item[1], item[2], item[3]
-        imu_j = jnp.asarray(imu)
-        pose_p, joints_p, tran_p, _ = forward_offline(params, imu_j)
+        imu_padded, n = _pad_bucket(np.asarray(imu))
+        pose_p, joints_p, tran_p, _ = forward_offline(
+            params, jnp.asarray(imu_padded), length=jnp.asarray(n))
+        pose_p, tran_p = pose_p[:n], tran_p[:n]
 
         if online:
             # frame-by-frame protocol with `num_future_frames` of last-frame
@@ -105,10 +120,11 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
             state = net.init_online_state()
             frames = np.concatenate(
                 [imu, np.repeat(imu[-1:], num_future_frames, axis=0)])
+            frames_padded, n_frames = _pad_bucket(frames)
             (poses, _, trans, _), _ = forward_online_seq(
-                params, state, jnp.asarray(frames))
-            pose_po = np.asarray(poses)[num_future_frames:]
-            tran_po = np.asarray(trans)[num_future_frames:]
+                params, state, jnp.asarray(frames_padded))
+            pose_po = np.asarray(poses)[num_future_frames:n_frames]
+            tran_po = np.asarray(trans)[num_future_frames:n_frames]
             online_errs.append(evaluator.eval(pose_po, pose_t,
                                               tran_p=tran_po, tran_t=tran_t))
 

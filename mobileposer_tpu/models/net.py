@@ -201,11 +201,21 @@ class MobilePoserNet:
 
     # -- offline -----------------------------------------------------------
     def forward_offline(self, params: dict, imu: jnp.ndarray,
-                        vel_h0c0=None):
+                        vel_h0c0=None, length=None):
         """imu [T, 60] -> (pose [T,24,3,3], joints [T,24,3], tran [T,3],
-        contact [T,2]) (reference: net.py:121-171)."""
+        contact [T,2]) (reference: net.py:121-171).
+
+        `length` (traced scalar) marks the valid prefix of a padded
+        sequence: callers can pad T to a fixed bucket so one compiled
+        program serves any sequence length (per-length jit specialization
+        costs seconds per compile); outputs beyond `length` are garbage to
+        be sliced off. All fusion state flows forward in time, so the valid
+        prefix is unaffected by the padding.
+        """
+        lengths = None if length is None else jnp.asarray([length])
         pose, joints, vel, contact, _ = forward(
-            params, imu[None], self.body_model, vel_h0c0=vel_h0c0)
+            params, imu[None], self.body_model, lengths=lengths,
+            vel_h0c0=vel_h0c0)
         T = imu.shape[0]
         joints = joints[0].reshape(T, 24, 3)
         tran = _fuse_velocity(joints, vel[0], contact[0], self.floor_y)

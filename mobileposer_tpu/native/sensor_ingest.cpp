@@ -263,16 +263,27 @@ int ingest_read_since(void* handle, int slot, uint64_t after_seq,
   uint64_t first = seq > kRingCap ? seq - kRingCap : 0;
   uint64_t start = after_seq > first ? after_seq : first;
   int n = 0;
-  for (uint64_t s = start; s < seq && n < max_frames; ++s) {
+  uint64_t last_copied = start;
+  for (uint64_t s = start; s < seq; ++s) {
+    if (n >= max_frames) {
+      // report only up to the last copied frame so the caller's next poll
+      // drains the remainder instead of silently dropping it
+      *last_seq = last_copied;
+      return n;
+    }
     Frame f = ring.frames[s % kRingCap];
     // tear-free iff the producer hadn't reached frame s+kRingCap while we
     // copied (same invariant as ingest_latest)
-    if (ring.seq.load(std::memory_order_acquire) - s >= kRingCap) continue;
+    if (ring.seq.load(std::memory_order_acquire) - s >= kRingCap) {
+      last_copied = s + 1;  // overwritten: unrecoverable, skip past it
+      continue;
+    }
     double* o = out + 9 * n;
     o[0] = f.unix_ts; o[1] = f.sensor_ts;
     for (int i = 0; i < 3; ++i) o[2 + i] = f.acc[i];
     for (int i = 0; i < 4; ++i) o[5 + i] = f.quat[i];
     ++n;
+    last_copied = s + 1;
   }
   *last_seq = seq;
   return n;

@@ -26,8 +26,10 @@ import jax.numpy as jnp
 
 
 def physics_enabled() -> bool:
-    """PHYSICS env gate (reference helpers.py getenv + net.py:66)."""
-    return bool(os.environ.get("PHYSICS"))
+    """PHYSICS env gate (reference helpers.py getenv + net.py:66;
+    numeric strings int-cast so PHYSICS=0 disables)."""
+    from mobileposer_tpu.utils.helpers import getenv_flag
+    return getenv_flag("PHYSICS")
 
 
 class PhysicsState(NamedTuple):

@@ -81,10 +81,13 @@ def make_train_step(module_name: str, lr: float, body_model=None):
         loss, grads = jax.value_and_grad(compute)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        # failure containment: a non-finite loss (bad batch, overflow) must
-        # not poison the parameters — keep the previous state and surface
-        # the bad loss to the caller's logs instead of NaN-ing the run
-        ok = jnp.isfinite(loss)
+        # failure containment: non-finite loss OR gradients (bad batch,
+        # exploding RNN backprop with a still-finite loss) must not poison
+        # the parameters — keep the previous state and surface the loss
+        grads_ok = jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+            jnp.asarray(True))
+        ok = jnp.isfinite(loss) & grads_ok
         params, opt_state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old),
             (params, opt_state), (state.params, state.opt_state))
@@ -253,20 +256,22 @@ class TrainingManager:
 
         from mobileposer_tpu.data.prefetch import BatchPrefetcher
 
-        step_i = 0
-        for epoch in range(start_epoch, epochs):
+        def run_epoch(epoch: int, step_i: int):
+            nonlocal state, key
             t0 = time.time()
             losses = []
-            for batch in BatchPrefetcher(batches_from(train_idx, rng_np)):
-                batch = pad_batch_to_multiple(batch, n_dev)
-                batch = shard_batch(batch, self.mesh)
-                key, sub = jax.random.split(key)
-                state, loss = train_step(state, batch, sub)
-                losses.append(loss)
-                step_i += 1
-                if self.fast_dev_run and step_i >= 2:
-                    break
-            train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else float("nan")
+            with BatchPrefetcher(batches_from(train_idx, rng_np)) as prefetch:
+                for batch in prefetch:
+                    batch = pad_batch_to_multiple(batch, n_dev)
+                    batch = shard_batch(batch, self.mesh)
+                    key, sub = jax.random.split(key)
+                    state, loss = train_step(state, batch, sub)
+                    losses.append(loss)
+                    step_i += 1
+                    if self.fast_dev_run and step_i >= 2:
+                        break
+            train_loss = (float(np.mean([np.asarray(l) for l in losses]))
+                          if losses else float("nan"))
 
             val_losses = []
             for batch in batches_from(val_idx, None):
@@ -276,7 +281,8 @@ class TrainingManager:
                 val_losses.append(eval_step(state.params, batch, sub))
                 if self.fast_dev_run:
                     break
-            val_loss = float(np.mean([np.asarray(l) for l in val_losses])) if val_losses else train_loss
+            val_loss = (float(np.mean([np.asarray(l) for l in val_losses]))
+                        if val_losses else train_loss)
 
             history["train_loss"].append(train_loss)
             history["val_loss"].append(val_loss)
@@ -295,8 +301,15 @@ class TrainingManager:
             if log_f:
                 log_f.write(json.dumps(rec) + "\n")
                 log_f.flush()
-        if log_f:
-            log_f.close()
+            return step_i
+
+        step_i = 0
+        try:
+            for epoch in range(start_epoch, epochs):
+                step_i = run_epoch(epoch, step_i)
+        finally:
+            if log_f:
+                log_f.close()
         return {"params": jax.tree_util.tree_map(np.asarray, state.params),
                 "history": history, "checkpointer": ckpt}
 

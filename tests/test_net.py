@@ -245,3 +245,22 @@ def test_sharded_streaming_matches_single_device(params, net):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(pose_sh), np.asarray(pose_ref),
                                atol=2e-5)
+
+
+def test_forward_offline_padded_prefix_invariance(params, net):
+    """Bucket-padded offline inference (the evaluation fast path) must match
+    the unpadded run on the valid prefix exactly."""
+    T, T_pad = 11, 24
+    imu = jax.random.normal(jax.random.PRNGKey(12), (T, 60)) * 0.1
+    pose_ref, joints_ref, tran_ref, contact_ref = net.forward_offline(
+        params, imu)
+    imu_padded = jnp.concatenate(
+        [imu, jnp.repeat(imu[-1:], T_pad - T, axis=0)])
+    pose_p, joints_p, tran_p, contact_p = net.forward_offline(
+        params, imu_padded, length=jnp.asarray(T))
+    np.testing.assert_allclose(np.asarray(pose_p[:T]), np.asarray(pose_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tran_p[:T]), np.asarray(tran_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(contact_p[:T]),
+                               np.asarray(contact_ref), atol=2e-5)
