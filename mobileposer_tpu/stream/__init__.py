@@ -34,3 +34,4 @@ from mobileposer_tpu.stream.replayer import (  # noqa: F401
     synthetic_device_stream,
 )
 from mobileposer_tpu.stream.live import LivePoser, UnityExporter, save_session  # noqa: F401
+from mobileposer_tpu.stream.server import PoseClient, PoseServer  # noqa: F401

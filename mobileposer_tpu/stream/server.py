@@ -1,0 +1,212 @@
+"""Multi-stream pose inference server.
+
+Serves many concurrent IMU streams from one chip: clients send
+`(stream_id, imu60)` datagrams; the server assembles one batch per tick,
+advances all streams with a single `forward_online_batched` step (the
+batch-major fast path — ~350k frames/s/chip for 256 streams on v5e-1), and
+replies to each client with the frame's pose (axis-angle), translation and
+contact.
+
+This is the serving-scale counterpart of the single-user live demo
+(stream/live.py); the reference has no equivalent (it is a single-user
+research pipeline). Wire format (all little-endian float32):
+
+  request:  stream_id:uint32 | imu60:float32[60]            (244 bytes)
+  reply:    stream_id:uint32 | pose_aa:float32[72] |
+            tran:float32[3] | contact:float32[2]            (312 bytes)
+
+Streams are slots: the first `max_streams` distinct ids are admitted;
+idle slots recycle after `idle_timeout` seconds.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mobileposer_tpu.kinematics import rotation as R
+from mobileposer_tpu.models import MobilePoserNet
+
+REQUEST_STRUCT = struct.Struct("<I60f")
+REPLY_STRUCT = struct.Struct("<I72f3f2f")
+
+
+class PoseServer:
+    """UDP batched-inference server over `forward_online_batched`."""
+
+    def __init__(self, net: MobilePoserNet, params: dict,
+                 host: str = "0.0.0.0", port: int = 9000,
+                 max_streams: int = 64, tick_hz: float = 30.0,
+                 idle_timeout: float = 30.0):
+        self.net = net
+        self.params = params
+        self.max_streams = max_streams
+        self.tick_period = 1.0 / tick_hz
+        self.idle_timeout = idle_timeout
+
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind((host, port))
+        self.sock.settimeout(0.05)
+        self.port = self.sock.getsockname()[1]
+
+        # slot state (host side)
+        self.slot_of: Dict[int, int] = {}           # stream_id -> slot
+        self.id_of: Dict[int, int] = {}             # slot -> stream_id
+        self.addr_of: Dict[int, Tuple] = {}         # slot -> last client addr
+        self.last_seen = np.zeros(max_streams)
+        self.pending = np.zeros((max_streams, 60), np.float32)
+        self.has_frame = np.zeros(max_streams, bool)
+
+        # device state (batched streaming)
+        self.states = net.init_online_state_batched(max_streams)
+        self._step = jax.jit(net.forward_online_batched)
+        self._aa = jax.jit(lambda p: R.rotation_matrix_to_axis_angle(
+            p.reshape(-1, 3, 3)).reshape(p.shape[0], 72))
+
+        self._stop = threading.Event()
+        self.frames_served = 0
+
+    # -- slot management ----------------------------------------------------
+    def _slot_for(self, stream_id: int) -> Optional[int]:
+        slot = self.slot_of.get(stream_id)
+        if slot is not None:
+            return slot
+        now = time.time()
+        for s in range(self.max_streams):
+            owner = self.id_of.get(s)
+            if owner is None or now - self.last_seen[s] > self.idle_timeout:
+                if owner is not None:
+                    del self.slot_of[owner]
+                    self._reset_slot(s)
+                self.slot_of[stream_id] = s
+                self.id_of[s] = stream_id
+                return s
+        return None                                  # server full
+
+    def _reset_slot(self, slot: int) -> None:
+        """Fresh streaming state for a recycled slot."""
+        fresh = self.net.init_online_state_batched(1)
+        def put(batched, single):
+            b = np.asarray(batched)
+            s = np.asarray(single)
+            if b.ndim >= 1 and b.shape[0] == self.max_streams:
+                b = b.copy(); b[slot] = s[0]; return jnp.asarray(b)
+            if b.ndim >= 2 and b.shape[1] == self.max_streams:
+                b = b.copy(); b[:, slot] = s[:, 0]; return jnp.asarray(b)
+            return jnp.asarray(b)
+        self.states = jax.tree_util.tree_map(put, self.states, fresh)
+
+    # -- main loop ----------------------------------------------------------
+    def _drain_requests(self) -> int:
+        n = 0
+        while True:
+            try:
+                data, addr = self.sock.recvfrom(REQUEST_STRUCT.size)
+            except socket.timeout:
+                break
+            except OSError:
+                break
+            if len(data) != REQUEST_STRUCT.size:
+                continue
+            unpacked = REQUEST_STRUCT.unpack(data)
+            stream_id = unpacked[0]
+            slot = self._slot_for(stream_id)
+            if slot is None:
+                continue
+            self.pending[slot] = unpacked[1:]
+            self.has_frame[slot] = True
+            self.addr_of[slot] = addr
+            self.last_seen[slot] = time.time()
+            n += 1
+            if n >= self.max_streams * 4:            # bound per tick
+                break
+        return n
+
+    def tick(self) -> int:
+        """One batch step: drain requests, advance all streams, reply.
+
+        Slots without a new frame repeat their last frame (the model's
+        sliding window absorbs it); replies only go to slots that sent one.
+        Returns the number of replies sent.
+        """
+        self._drain_requests()
+        active = np.nonzero(self.has_frame)[0]
+        if active.size == 0:
+            return 0
+        (pose, joints, root, contact), self.states = self._step(
+            self.params, self.states, jnp.asarray(self.pending))
+        pose_aa = np.asarray(self._aa(pose))
+        root_np = np.asarray(root)
+        contact_np = np.asarray(contact)
+        sent = 0
+        for slot in active:
+            addr = self.addr_of.get(int(slot))
+            if addr is None:
+                continue
+            payload = REPLY_STRUCT.pack(
+                self.id_of[int(slot)], *pose_aa[slot].tolist(),
+                *root_np[slot].tolist(), *contact_np[slot].tolist())
+            try:
+                self.sock.sendto(payload, addr)
+                sent += 1
+            except OSError:
+                pass
+        self.has_frame[active] = False
+        self.frames_served += sent
+        return sent
+
+    def run(self, duration: Optional[float] = None) -> None:
+        t0 = time.time()
+        while not self._stop.is_set():
+            tick_start = time.perf_counter()
+            self.tick()
+            if duration is not None and time.time() - t0 > duration:
+                break
+            leftover = self.tick_period - (time.perf_counter() - tick_start)
+            if leftover > 0:
+                time.sleep(leftover)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+class PoseClient:
+    """Minimal client for PoseServer (also the test fixture)."""
+
+    def __init__(self, stream_id: int, host: str = "127.0.0.1",
+                 port: int = 9000, timeout: float = 2.0):
+        self.stream_id = stream_id
+        self.addr = (host, port)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.settimeout(timeout)
+
+    def send_frame(self, imu60: np.ndarray) -> None:
+        self.sock.sendto(REQUEST_STRUCT.pack(
+            self.stream_id, *np.asarray(imu60, np.float32).tolist()),
+            self.addr)
+
+    def recv_pose(self):
+        """(pose_aa [72], tran [3], contact [2]) or None on timeout."""
+        try:
+            data, _ = self.sock.recvfrom(REPLY_STRUCT.size)
+        except socket.timeout:
+            return None
+        u = REPLY_STRUCT.unpack(data)
+        assert u[0] == self.stream_id
+        vals = np.asarray(u[1:], np.float32)
+        return vals[:72], vals[72:75], vals[75:77]
+
+    def close(self) -> None:
+        self.sock.close()
