@@ -1,0 +1,46 @@
+"""Run the multi-stream pose inference server.
+
+    python -m mobileposer_tpu.cli.serve --model weights.npz
+        [--port 9000] [--max-streams 64] [--tick-hz 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from mobileposer_tpu import config as C
+from mobileposer_tpu.kinematics.smpl import ParametricModel
+from mobileposer_tpu.models import MobilePoserNet
+from mobileposer_tpu.models.utils import load_model
+from mobileposer_tpu.stream import PoseServer
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=9000)
+    parser.add_argument("--max-streams", type=int, default=64)
+    parser.add_argument("--tick-hz", type=float, default=30.0)
+    parser.add_argument("--duration", type=float, default=None)
+    args = parser.parse_args(argv)
+
+    body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
+    net = MobilePoserNet(body)
+    params = load_model(args.model)
+    server = PoseServer(net, params, host=args.host, port=args.port,
+                        max_streams=args.max_streams, tick_hz=args.tick_hz)
+    print(f"Pose server on udp://{args.host}:{server.port} "
+          f"({args.max_streams} streams @ {args.tick_hz} Hz). Ctrl-C to stop.")
+    try:
+        server.run(duration=args.duration)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+        server.close()
+        print(f"\nServed {server.frames_served} frames.")
+
+
+if __name__ == "__main__":
+    main()
