@@ -133,16 +133,31 @@ def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
     pred_joints_tm, _ = module_apply("joints", params["joints"], imu_tm,
                                      lengths, backend=backend, time_major=True)
     x132 = jnp.concatenate([pred_joints_tm, imu_tm], axis=-1)
-    pred_pose_r6d, _ = module_apply("poser", params["poser"], x132, lengths,
-                                    backend=backend, time_major=True)
-    pose_local = reduced_global_to_full(
-        pred_pose_r6d.reshape(T * B, -1), body_model).reshape(T, B, 24, 3, 3)
-    contact, _ = module_apply("footcontact", params["footcontact"], x132,
-                              lengths, backend=backend, time_major=True)
     if vel_h0c0 is None:
         vel_h0c0 = rnn_zero_state(MODULE_CONFIGS["velocity"], B, imu.dtype)
-    vel, vel_hc = module_apply("velocity", params["velocity"], x132, lengths,
-                               h0c0=vel_h0c0, backend=backend, time_major=True)
+
+    if backend == "fused" and lengths is None:
+        # fused trio: poser/footcontact/velocity advance together, one
+        # multicell kernel per layer-row. Standalone this measures 2.3x
+        # faster than separate scans (B=256, T=45, v5e) — but INSIDE the
+        # streaming frame-scan it loses 2x to XLA's pipelined scans (the
+        # concatenated projections materialize per frame), so it is opt-in
+        # for single-window workloads, not part of backend='auto'.
+        from mobileposer_tpu.models.fused import trio_apply
+        pred_pose_r6d, contact, vel, vel_hc = trio_apply(
+            params, x132, vel_h0c0)
+    else:
+        backend = "auto" if backend == "fused" else backend
+        pred_pose_r6d, _ = module_apply("poser", params["poser"], x132,
+                                        lengths, backend=backend,
+                                        time_major=True)
+        contact, _ = module_apply("footcontact", params["footcontact"], x132,
+                                  lengths, backend=backend, time_major=True)
+        vel, vel_hc = module_apply("velocity", params["velocity"], x132,
+                                   lengths, h0c0=vel_h0c0, backend=backend,
+                                   time_major=True)
+    pose_local = reduced_global_to_full(
+        pred_pose_r6d.reshape(T * B, -1), body_model).reshape(T, B, 24, 3, 3)
     return (jnp.swapaxes(pose_local, 0, 1), jnp.swapaxes(pred_joints_tm, 0, 1),
             jnp.swapaxes(vel, 0, 1), jnp.swapaxes(contact, 0, 1), vel_hc)
 
