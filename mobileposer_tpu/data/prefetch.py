@@ -47,10 +47,16 @@ class BatchPrefetcher:
         except BaseException as e:       # surface worker errors to consumer
             self._error = e
         finally:
-            try:
-                self._queue.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            # The sentinel MUST be delivered even when the queue is full
+            # (producer-faster-than-consumer is the prefetcher's intended
+            # regime) — dropping it would leave the consumer blocked in
+            # __next__ forever. Block with a stop-aware timeout instead.
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def close(self) -> None:
         """Stop the worker; safe to call multiple times / after exhaustion."""

@@ -94,18 +94,17 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
     forward_offline = jax.jit(net.forward_offline)
     forward_online_seq = jax.jit(net.forward_online_sequence) if online else None
 
-    # Pad every sequence to a 512-frame bucket so one compiled program
-    # serves any length (jit specializes on T; per-sequence compiles cost
-    # seconds each over slow transports). Outputs are sliced to the true
-    # length; all streaming/fusion state flows forward in time, so the
-    # valid prefix is identical to an unpadded run.
-    BUCKET = 512
+    # Pad every sequence to the evaluator's bucket size so one compiled
+    # program serves any length (jit specializes on T; per-sequence
+    # compiles cost seconds each over slow transports). Outputs are sliced
+    # to the true length; all streaming/fusion state flows forward in
+    # time, so the valid prefix is identical to an unpadded run.
+    from mobileposer_tpu.evaluation.evaluator import _BUCKET, _pad_to_bucket
 
     def _pad_bucket(x):
         n = x.shape[0]
-        n_pad = max(BUCKET, -(-n // BUCKET) * BUCKET)
-        return np.concatenate(
-            [x, np.repeat(x[-1:], n_pad - n, axis=0)]), n
+        n_pad = max(_BUCKET, -(-n // _BUCKET) * _BUCKET)
+        return _pad_to_bucket(np.asarray(x), n_pad), n
 
     for item in dataset:
         imu, pose_t, _, tran_t = item[0], item[1], item[2], item[3]

@@ -130,8 +130,12 @@ def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
     # internally, so chaining modules batch-major costs a transpose
     # round-trip per module (~4 ms per 256x45 window on v5e).
     imu_tm = jnp.swapaxes(imu, 0, 1)
+    # 'fused' covers only the trio below; joints takes the 'auto' route so
+    # it still gets the fused-bidirectional pallas kernel
+    joints_backend = "auto" if backend == "fused" else backend
     pred_joints_tm, _ = module_apply("joints", params["joints"], imu_tm,
-                                     lengths, backend=backend, time_major=True)
+                                     lengths, backend=joints_backend,
+                                     time_major=True)
     x132 = jnp.concatenate([pred_joints_tm, imu_tm], axis=-1)
     if vel_h0c0 is None:
         vel_h0c0 = rnn_zero_state(MODULE_CONFIGS["velocity"], B, imu.dtype)

@@ -55,7 +55,8 @@ class PoseServer:
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind((host, port))
-        self.sock.settimeout(0.05)
+        # non-blocking: the drain loop must never stall the serving tick
+        self.sock.setblocking(False)
         self.port = self.sock.getsockname()[1]
 
         # slot state (host side)
@@ -66,11 +67,38 @@ class PoseServer:
         self.pending = np.zeros((max_streams, 60), np.float32)
         self.has_frame = np.zeros(max_streams, bool)
 
-        # device state (batched streaming)
-        self.states = net.init_online_state_batched(max_streams)
+        # device state, built host-side as numpy (eager device math in a
+        # constructor costs seconds of remote compiles over tunneled
+        # transports); the first jitted step moves it to the device
+        S = max_streams
+        feet = np.asarray(net.feet_pos, np.float32)
+        self.states = MobilePoserNet.OnlineState(
+            imu=np.zeros((S, 45, 60), np.float32),
+            initialized=np.zeros((S,), bool),
+            vel_h=np.zeros((2, S, 256), np.float32),
+            vel_c=np.zeros((2, S, 256), np.float32),
+            last_lfoot=np.broadcast_to(feet[0], (S, 3)).copy(),
+            last_rfoot=np.broadcast_to(feet[1], (S, 3)).copy(),
+            current_root_y=np.zeros((S,), np.float32),
+            last_root_pos=np.zeros((S, 3), np.float32))
         self._step = jax.jit(net.forward_online_batched)
         self._aa = jax.jit(lambda p: R.rotation_matrix_to_axis_angle(
             p.reshape(-1, 3, 3)).reshape(p.shape[0], 72))
+        # device-resident per-slot reset: explicit per-field indexed updates
+        # (tick() advances EVERY slot each step, so a claimed slot must be
+        # cleared whether it was virgin or recycled; shape heuristics or
+        # host round-trips here would corrupt carries / stall ticks)
+        lf = jnp.asarray(feet[0])
+        rf = jnp.asarray(feet[1])
+        self._reset_fn = jax.jit(lambda st, slot: st._replace(
+            imu=st.imu.at[slot].set(0.0),
+            initialized=st.initialized.at[slot].set(False),
+            vel_h=st.vel_h.at[:, slot].set(0.0),
+            vel_c=st.vel_c.at[:, slot].set(0.0),
+            last_lfoot=st.last_lfoot.at[slot].set(lf),
+            last_rfoot=st.last_rfoot.at[slot].set(rf),
+            current_root_y=st.current_root_y.at[slot].set(0.0),
+            last_root_pos=st.last_root_pos.at[slot].set(0.0)))
 
         self._stop = threading.Event()
         self.frames_served = 0
@@ -86,24 +114,18 @@ class PoseServer:
             if owner is None or now - self.last_seen[s] > self.idle_timeout:
                 if owner is not None:
                     del self.slot_of[owner]
-                    self._reset_slot(s)
                 self.slot_of[stream_id] = s
                 self.id_of[s] = stream_id
+                # always reset: tick() advances every slot each step, so
+                # even a never-owned slot has accumulated state
+                self._reset_slot(s)
                 return s
         return None                                  # server full
 
     def _reset_slot(self, slot: int) -> None:
-        """Fresh streaming state for a recycled slot."""
-        fresh = self.net.init_online_state_batched(1)
-        def put(batched, single):
-            b = np.asarray(batched)
-            s = np.asarray(single)
-            if b.ndim >= 1 and b.shape[0] == self.max_streams:
-                b = b.copy(); b[slot] = s[0]; return jnp.asarray(b)
-            if b.ndim >= 2 and b.shape[1] == self.max_streams:
-                b = b.copy(); b[:, slot] = s[:, 0]; return jnp.asarray(b)
-            return jnp.asarray(b)
-        self.states = jax.tree_util.tree_map(put, self.states, fresh)
+        """Fresh streaming state for a claimed slot (device-resident)."""
+        states = jax.tree_util.tree_map(jnp.asarray, self.states)
+        self.states = self._reset_fn(states, slot)
 
     # -- main loop ----------------------------------------------------------
     def _drain_requests(self) -> int:
@@ -111,7 +133,7 @@ class PoseServer:
         while True:
             try:
                 data, addr = self.sock.recvfrom(REQUEST_STRUCT.size)
-            except socket.timeout:
+            except (BlockingIOError, socket.timeout):
                 break
             except OSError:
                 break

@@ -95,3 +95,46 @@ def test_server_full_rejects_gracefully(server):
     finally:
         for c in extras:
             c.close()
+
+
+def test_late_join_gets_fresh_state():
+    """A stream claiming a slot after the server has been ticking must see
+    a freshly-initialized state (first frame broadcast into the window),
+    not state accumulated by idle ticks."""
+    import jax.numpy as jnp
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(1))
+    server = PoseServer(net, params, host="127.0.0.1", port=0,
+                        max_streams=2, tick_hz=120.0)
+    thread = threading.Thread(target=server.run, daemon=True)
+    thread.start()
+    # let the server tick a while with other streams active
+    warm = PoseClient(stream_id=400, port=server.port)
+    try:
+        for _ in range(8):
+            warm.send_frame(np.zeros(60, np.float32))
+            warm.recv_pose()
+        late = PoseClient(stream_id=401, port=server.port)
+        try:
+            frame = np.random.RandomState(5).randn(60).astype(np.float32) * 0.1
+            late.send_frame(frame)
+            out = late.recv_pose()
+            assert out is not None
+            pose_aa, tran, contact = out
+            # reference behavior for a fresh stream's first frame
+            state = server.net.init_online_state()
+            (pose_ref, _, root_ref, _), _ = server.net.forward_online(
+                server.params, state, jnp.asarray(frame))
+            from mobileposer_tpu.kinematics import rotation as R
+            ref_aa = np.asarray(R.rotation_matrix_to_axis_angle(
+                pose_ref)).reshape(72)
+            np.testing.assert_allclose(pose_aa, ref_aa, atol=1e-3)
+            np.testing.assert_allclose(tran, np.asarray(root_ref), atol=1e-3)
+        finally:
+            late.close()
+    finally:
+        warm.close()
+        server.stop()
+        thread.join(timeout=5)
+        server.close()
