@@ -110,7 +110,8 @@ def bench_combo_streaming(net, params, rtt):
     users = 21
     n_streams = len(COMBO_MASKS) * users          # 252 streams
     n_frames = 100
-    states = net.init_online_state_batched(n_streams)
+    states = jax.tree_util.tree_map(
+        jnp.asarray, net.init_online_state_batched(n_streams))
 
     @jax.jit
     def run(params, states, frames):
@@ -179,7 +180,8 @@ def bench_stream_latency(net, params, rtt):
     """Single-stream per-frame device latency (the real-time metric: one
     frame must fit in the 33 ms budget of a 30 Hz stream)."""
     N = 100
-    state = net.init_online_state_batched(1)
+    state = jax.tree_util.tree_map(
+        jnp.asarray, net.init_online_state_batched(1))
 
     @jax.jit
     def run(params, state, frames):

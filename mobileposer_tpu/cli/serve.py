@@ -23,11 +23,18 @@ def main(argv=None) -> None:
     parser.add_argument("--max-streams", type=int, default=64)
     parser.add_argument("--tick-hz", type=float, default=30.0)
     parser.add_argument("--duration", type=float, default=None)
+    parser.add_argument("--bf16", action="store_true",
+                        help="serve with bfloat16 weights (2x MXU, ~1e-3 "
+                             "relative error)")
     args = parser.parse_args(argv)
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
     net = MobilePoserNet(body)
     params = load_model(args.model)
+    if args.bf16:
+        import jax.numpy as jnp
+        from mobileposer_tpu.nn import cast_params
+        params = cast_params(params, jnp.bfloat16)
     server = PoseServer(net, params, host=args.host, port=args.port,
                         max_streams=args.max_streams, tick_hz=args.tick_hz)
     print(f"Pose server on udp://{args.host}:{server.port} "

@@ -151,7 +151,7 @@ def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
         pred_pose_r6d, contact, vel, vel_hc = trio_apply(
             params, x132, vel_h0c0)
     else:
-        backend = "auto" if backend == "fused" else backend
+        backend = joints_backend
         pred_pose_r6d, _ = module_apply("poser", params["poser"], x132,
                                         lengths, backend=backend,
                                         time_major=True)
@@ -269,50 +269,26 @@ class MobilePoserNet:
 
         frame: [60]. Returns ((pose [24,3,3], joints [24,3], root_pos [3],
         contact [2]), new_state). Pure — wrap in jit once, then call per
-        frame; vmap over states for many concurrent streams.
+        frame. Thin S=1 adapter over `forward_online_batched` (one
+        implementation of the fusion semantics to maintain).
         """
-        window = jnp.where(
-            state.initialized,
-            jnp.concatenate([state.imu[1:], frame[None]]),
-            jnp.broadcast_to(frame, (NUM_TOTAL, frame.shape[0])))
-
-        # NOTE on semantics: the reference feeds the velocity LSTM the whole
-        # 45-frame window each step *with* the persistent carry
-        # (net.py:117 -> velocity.py:45-48), i.e. the carry advances by 45
-        # frames per real frame. We reproduce that exactly.
-        pose, joints_seq, vel, contact_seq, vel_hc = forward(
-            params, window[None], self.body_model,
-            vel_h0c0=(state.vel_h, state.vel_c))
-
-        pose_t = pose[0, NUM_PAST]
-        joints = joints_seq[0, NUM_PAST].reshape(24, 3)
-        contact = contact_seq[0, NUM_PAST]
-
-        lfoot, rfoot = joints[10], joints[11]
-        contact_vel = jnp.where(contact[0] > contact[1],
-                                state.last_lfoot - lfoot,
-                                state.last_rfoot - rfoot) + GRAVITY_VELOCITY
-        root_vel = vel[0, NUM_PAST].reshape(24, 3)[0] / VEL_SCALE_PER_FRAME
-        cmax = contact.max()
-        weight = prob_to_weight(
-            jax.nn.sigmoid(cmax) if self.online_sigmoid else cmax)
-        velocity = R.lerp(root_vel, contact_vel, weight)
-
-        current_foot_y = state.current_root_y + jnp.minimum(lfoot[1], rfoot[1])
-        v_y = jnp.where(current_foot_y + velocity[1] <= self.floor_y,
-                        self.floor_y - current_foot_y, velocity[1])
-        velocity = velocity.at[1].set(v_y)
-        velocity = velocity.astype(state.last_root_pos.dtype)
-        v_y = v_y.astype(state.current_root_y.dtype)
-
+        bstate = MobilePoserNet.OnlineState(
+            imu=state.imu[None],
+            initialized=jnp.asarray(state.initialized)[None],
+            vel_h=state.vel_h, vel_c=state.vel_c,
+            last_lfoot=state.last_lfoot[None],
+            last_rfoot=state.last_rfoot[None],
+            current_root_y=jnp.asarray(state.current_root_y)[None],
+            last_root_pos=state.last_root_pos[None])
+        (pose, joints, root, contact), nb = self.forward_online_batched(
+            params, bstate, frame[None])
         new_state = MobilePoserNet.OnlineState(
-            imu=window,
-            initialized=jnp.asarray(True),
-            vel_h=vel_hc[0], vel_c=vel_hc[1],
-            last_lfoot=lfoot, last_rfoot=rfoot,
-            current_root_y=state.current_root_y + v_y,
-            last_root_pos=state.last_root_pos + velocity)
-        return (pose_t, joints, new_state.last_root_pos, contact), new_state
+            imu=nb.imu[0], initialized=nb.initialized[0],
+            vel_h=nb.vel_h, vel_c=nb.vel_c,
+            last_lfoot=nb.last_lfoot[0], last_rfoot=nb.last_rfoot[0],
+            current_root_y=nb.current_root_y[0],
+            last_root_pos=nb.last_root_pos[0])
+        return (pose[0], joints[0], root[0], contact[0]), new_state
 
     # -- batch-major multi-stream streaming --------------------------------
     def init_online_state_batched(self, n_streams: int, dtype=jnp.float32
@@ -321,17 +297,25 @@ class MobilePoserNet:
         batch-major: every field gains a leading stream axis except the
         velocity carry, which keeps the LSTM stack layout [2, S, 256].
         Batch-major streaming is ~3x faster than vmapping the per-stream
-        step (vmap of a B=1 forward lays matmuls out poorly)."""
-        h, c = rnn_zero_state(MODULE_CONFIGS["velocity"], n_streams, dtype)
+        step (vmap of a B=1 forward lays matmuls out poorly).
+
+        Built host-side as numpy (eager device ops in setup code cost
+        seconds of remote compiles over tunneled transports); the first
+        jitted step moves it to the device."""
         S = n_streams
+        np_dtype = np.dtype(str(jnp.dtype(dtype)))
+        cfg = MODULE_CONFIGS["velocity"]
+        n_stack = cfg.n_layers
+        feet = np.asarray(self.feet_pos, np_dtype)
         return MobilePoserNet.OnlineState(
-            imu=jnp.zeros((S, NUM_TOTAL, C.model_config.n_imu), dtype),
-            initialized=jnp.zeros((S,), bool),
-            vel_h=h, vel_c=c,
-            last_lfoot=jnp.broadcast_to(self.feet_pos[0].astype(dtype), (S, 3)),
-            last_rfoot=jnp.broadcast_to(self.feet_pos[1].astype(dtype), (S, 3)),
-            current_root_y=jnp.zeros((S,), dtype),
-            last_root_pos=jnp.zeros((S, 3), dtype))
+            imu=np.zeros((S, NUM_TOTAL, C.model_config.n_imu), np_dtype),
+            initialized=np.zeros((S,), bool),
+            vel_h=np.zeros((n_stack, S, cfg.n_hidden), np_dtype),
+            vel_c=np.zeros((n_stack, S, cfg.n_hidden), np_dtype),
+            last_lfoot=np.broadcast_to(feet[0], (S, 3)).copy(),
+            last_rfoot=np.broadcast_to(feet[1], (S, 3)).copy(),
+            current_root_y=np.zeros((S,), np_dtype),
+            last_root_pos=np.zeros((S, 3), np_dtype))
 
     def forward_online_batched(self, params: dict,
                                state: "MobilePoserNet.OnlineState",

@@ -67,20 +67,10 @@ class PoseServer:
         self.pending = np.zeros((max_streams, 60), np.float32)
         self.has_frame = np.zeros(max_streams, bool)
 
-        # device state, built host-side as numpy (eager device math in a
-        # constructor costs seconds of remote compiles over tunneled
-        # transports); the first jitted step moves it to the device
-        S = max_streams
+        # numpy state: no eager device math in the constructor; the first
+        # jitted step moves it to the device
+        self.states = net.init_online_state_batched(max_streams)
         feet = np.asarray(net.feet_pos, np.float32)
-        self.states = MobilePoserNet.OnlineState(
-            imu=np.zeros((S, 45, 60), np.float32),
-            initialized=np.zeros((S,), bool),
-            vel_h=np.zeros((2, S, 256), np.float32),
-            vel_c=np.zeros((2, S, 256), np.float32),
-            last_lfoot=np.broadcast_to(feet[0], (S, 3)).copy(),
-            last_rfoot=np.broadcast_to(feet[1], (S, 3)).copy(),
-            current_root_y=np.zeros((S,), np.float32),
-            last_root_pos=np.zeros((S, 3), np.float32))
         self._step = jax.jit(net.forward_online_batched)
         self._aa = jax.jit(lambda p: R.rotation_matrix_to_axis_angle(
             p.reshape(-1, 3, 3)).reshape(p.shape[0], 72))

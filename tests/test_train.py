@@ -170,3 +170,27 @@ def test_nan_loss_does_not_poison_params(dataset):
     # and training continues normally afterwards
     state3, loss3 = step(state2, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss3))
+
+
+def test_training_is_deterministic(dataset):
+    """Two runs from the same seed produce bit-identical losses and params
+    (the reference pins determinism via seed_everything; here it falls out
+    of explicit PRNG keys)."""
+    def run():
+        state = init_train_state("footcontact", jax.random.PRNGKey(7), 1e-3)
+        step = make_train_step("footcontact", lr=1e-3)
+        batch = dataset._assemble(np.arange(4), C.datasets.window_length)
+        key = jax.random.PRNGKey(8)
+        losses = []
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            state, loss = step(state, batch, sub)
+            losses.append(float(loss))
+        return losses, jax.tree_util.tree_map(np.asarray, state.params)
+
+    l1, p1 = run()
+    l2, p2 = run()
+    assert l1 == l2
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(a, b)
