@@ -4,13 +4,18 @@ After the joints module, the poser / footcontact / velocity modules all
 consume the same 132-dim input; their LSTM cells per layer-row are mutually
 independent. The standard path runs them as 10 sequential scans (2 fused-bi
 + 1 uni per row x 2 rows); here each row is ONE multicell kernel
-(ops/multicell_pallas.py) advancing all five cells per step — measured
-2.3x faster than five separate scans at the production shapes
-(B=256, T=45, v5e).
+(ops/multicell_pallas.py) advancing all five cells per step.
 
-Numerically identical to the per-module path (test-pinned); inference only
-(full-length windows, no dropout). The training path keeps per-module
-applies for autodiff clarity.
+Measured reality check (v5e, B=256, T=45): standalone, one multicell scan
+is 2.3x faster than five separate scans (0.77 vs 1.73 ms); but in the full
+composite — where projections, the joints module, IK and output
+materialization dominate — it is within noise of the default path, and
+inside the streaming frame-scan it LOSES 2x (the concatenated projections
+materialize per frame instead of fusing into XLA's pipelined scans). It
+therefore stays opt-in (backend='fused') rather than part of 'auto'.
+
+Numerically bit-identical to the per-module path (test-pinned on CPU and
+verified on TPU); inference only (full-length windows, no dropout).
 """
 
 from __future__ import annotations
