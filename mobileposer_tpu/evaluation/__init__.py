@@ -9,5 +9,6 @@ from mobileposer_tpu.evaluation.pose_eval import (  # noqa: F401
     METRIC_NAMES,
     PoseEvaluator,
     evaluate_pose,
+    forward_offline_batched,
     translation_drift,
 )

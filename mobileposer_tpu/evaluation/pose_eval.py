@@ -76,6 +76,25 @@ def translation_drift(tran_p: np.ndarray, tran_t: np.ndarray,
     return out
 
 
+def forward_offline_batched(net: MobilePoserNet, params: dict,
+                            imu_batch: jnp.ndarray, lengths: jnp.ndarray):
+    """Offline inference over several padded sequences at once.
+
+    imu_batch [N, T_pad, 60], lengths [N]. Returns (pose [N,T,24,3,3],
+    joints [N,T,24,3], tran [N,T,3], contact [N,T,2]); entries beyond each
+    sequence's length are garbage to slice off. The translation fusion is
+    vmapped per sequence — N sequences cost one forward instead of N.
+    """
+    from mobileposer_tpu.models.net import _fuse_velocity, forward
+    pose, joints, vel, contact, _ = forward(
+        params, imu_batch, net.body_model, lengths=lengths)
+    N, T = imu_batch.shape[:2]
+    joints = joints.reshape(N, T, 24, 3)
+    fuse = jax.vmap(lambda j, v, c: _fuse_velocity(j, v, c, net.floor_y))
+    tran = fuse(joints, vel, contact)
+    return pose, joints, tran, contact
+
+
 def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
                   online: bool = False, evaluate_tran: bool = False,
                   num_future_frames: int = C.model_config.future_frames,

@@ -127,3 +127,27 @@ def test_evaluate_pose_end_to_end(body):
                             evaluate_tran=True, verbose=False)
         assert res["offline"].shape == (8, 2)
         assert np.all(np.isfinite(res["offline"]))
+
+
+def test_forward_offline_batched_matches_sequential(body):
+    """Batched offline inference over padded sequences must match
+    per-sequence forward_offline on each valid prefix."""
+    from mobileposer_tpu.evaluation import forward_offline_batched
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    T_pad = 16
+    lengths = [16, 9]
+    rng = jax.random.PRNGKey(6)
+    imus = jax.random.normal(rng, (2, T_pad, 60)) * 0.1
+    pose_b, joints_b, tran_b, contact_b = forward_offline_batched(
+        net, params, imus, jnp.asarray(lengths))
+    for i, L in enumerate(lengths):
+        pose_ref, joints_ref, tran_ref, contact_ref = net.forward_offline(
+            params, imus[i, :L])
+        np.testing.assert_allclose(np.asarray(pose_b[i, :L]),
+                                   np.asarray(pose_ref), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(tran_b[i, :L]),
+                                   np.asarray(tran_ref), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(contact_b[i, :L]),
+                                   np.asarray(contact_ref), atol=3e-5)
