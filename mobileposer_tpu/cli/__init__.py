@@ -9,4 +9,7 @@
     python -m mobileposer_tpu.cli.calibration      # sensor frontend app
     python -m mobileposer_tpu.cli.live_demo        # live streaming demo
     python -m mobileposer_tpu.cli.combiner         # merge recorded sessions
+    python -m mobileposer_tpu.cli.finetune         # DIP/IMUPoser finetune chain
+    python -m mobileposer_tpu.cli.serve            # multi-stream pose server
+    python -m mobileposer_tpu.cli.parity           # checkpoint-parity check
 """

@@ -1,7 +1,7 @@
 """Merge recorded dev sessions into one dataset file
 (reference CLI: mobileposer/combiner.py).
 
-    python -m mobileposer_tpu.cli.combiner --sessions dev_*.npz --out dev.pt
+    python -m mobileposer_tpu.cli.combiner --sessions dev_*.npz --out dev.npz
 """
 
 from __future__ import annotations
@@ -46,6 +46,8 @@ def main(argv=None) -> None:
         print(f"{f}: {acc.shape[0]} frames")
 
     out = Path(args.out or (C.paths.dev_data / "combined.npz"))
+    if out.suffix != ".npz":
+        out = out.with_suffix(out.suffix + ".npz")   # np.savez appends .npz
     out.parent.mkdir(parents=True, exist_ok=True)
     np.savez(out, sequences=np.asarray(
         [{k: v[i] for k, v in merged.items()} for i in range(len(files))],

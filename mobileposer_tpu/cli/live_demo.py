@@ -68,7 +68,10 @@ def main(argv=None) -> None:
         recorded = poser.run(duration=args.duration, unity=unity,
                              record=args.save, debug=args.debug)
     except KeyboardInterrupt:
-        recorded = None
+        # interrupt escaped run() (rare window): salvage the live buffers
+        from mobileposer_tpu.stream.live import stack_recording
+        live = getattr(poser, "last_recording", None)
+        recorded = stack_recording(live) if live else None
     finally:
         if unity is not None:
             unity.close()

@@ -35,15 +35,18 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
-    if args.synthetic or not C.paths.processed_datasets.exists():
-        import tempfile
-        f = tempfile.NamedTemporaryFile(suffix=".pt", delete=False)
-        make_synthetic_processed_dataset(f.name, n_sequences=1, T=150,
-                                         body_model=body)
-        dataset = PoseDataset(fold="train", body_model=body,
-                              data_files=[f.name])
-    else:
-        dataset = PoseDataset(fold="train", body_model=body)
+    import contextlib
+    with contextlib.ExitStack() as stack:
+        if args.synthetic or not C.paths.processed_datasets.exists():
+            import tempfile
+            d = stack.enter_context(tempfile.TemporaryDirectory())
+            path = f"{d}/overfit.pt"
+            make_synthetic_processed_dataset(path, n_sequences=1, T=150,
+                                             body_model=body)
+            dataset = PoseDataset(fold="train", body_model=body,
+                                  data_files=[path])
+        else:
+            dataset = PoseDataset(fold="train", body_model=body)
 
     state = init_train_state(args.module, jax.random.PRNGKey(0),
                              lr=C.train_hypers.lr)

@@ -35,25 +35,80 @@ NUM_JOINTS = 24
 NUM_VERTICES = 6890  # reference: constants.py:33
 
 
+class _ChumpyShim:
+    """Stand-in for chumpy array classes inside official SMPL pickles.
+
+    The official basicmodel .pkl stores some fields as chumpy Ch objects;
+    unpickling them normally imports chumpy, which is not a dependency
+    here. Pickle restores instance state via __setstate__/__dict__, so a
+    plain object shim captures it; `_to_np` then digs out the underlying
+    numpy array (chumpy keeps it in the 'x' attribute).
+    """
+
+
+def _install_chumpy_shim() -> None:
+    import sys
+    import types
+    if "chumpy" in sys.modules:
+        return
+    mod = types.ModuleType("chumpy")
+
+    class _Finder:
+        def find_module(self, name, path=None):  # pragma: no cover - py<3.12
+            return None
+
+    def _getattr(name):
+        return _ChumpyShim
+
+    mod.__getattr__ = _getattr
+    mod.Ch = _ChumpyShim
+    sys.modules["chumpy"] = mod
+    for sub in ("ch", "ch_ops", "reordering"):
+        sm = types.ModuleType(f"chumpy.{sub}")
+        sm.__getattr__ = _getattr
+        sys.modules[f"chumpy.{sub}"] = sm
+
+
+def _to_np(x) -> np.ndarray:
+    if hasattr(x, "toarray"):        # scipy sparse
+        return np.asarray(x.toarray())
+    if isinstance(x, _ChumpyShim) or type(x).__name__ == "Ch":
+        inner = getattr(x, "x", None)
+        if inner is None:
+            inner = x.__dict__.get("x")
+        if inner is None:
+            raise ValueError("cannot extract array from chumpy object "
+                             f"(attrs: {list(getattr(x, '__dict__', {}))})")
+        return _to_np(inner)
+    return np.asarray(x)
+
+
 def load_smpl_arrays(model_file: str) -> dict:
     """Host-side load of the official SMPL pickle into plain numpy arrays.
 
     Mirrors the fields read by the reference ctor (model.py:28-39).
+    Official pickles reference chumpy; a shim captures those objects and
+    extracts their numpy payloads, so chumpy itself is not required.
     """
-    with open(model_file, "rb") as f:
-        data = pickle.load(f, encoding="latin1")
-    j_regressor = data["J_regressor"]
-    if hasattr(j_regressor, "toarray"):  # scipy sparse
-        j_regressor = j_regressor.toarray()
+    try:
+        with open(model_file, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+    except ModuleNotFoundError as e:
+        if "chumpy" not in str(e):
+            raise
+        _install_chumpy_shim()
+        with open(model_file, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
     return dict(
-        J_regressor=np.asarray(j_regressor, np.float32),
-        weights=np.asarray(data["weights"], np.float32),
-        posedirs=np.asarray(data["posedirs"], np.float32),
-        shapedirs=np.asarray(np.array(data["shapedirs"]), np.float32),
-        v_template=np.asarray(data["v_template"], np.float32),
-        J=np.asarray(data["J"], np.float32),
-        f=np.asarray(data["f"], np.int32),
-        parents=tuple([-1] + [int(p) for p in data["kintree_table"][0][1:].tolist()]),
+        J_regressor=_to_np(data["J_regressor"]).astype(np.float32),
+        weights=_to_np(data["weights"]).astype(np.float32),
+        posedirs=_to_np(data["posedirs"]).astype(np.float32),
+        shapedirs=_to_np(data["shapedirs"]).astype(np.float32),
+        v_template=_to_np(data["v_template"]).astype(np.float32),
+        J=_to_np(data["J"]).astype(np.float32),
+        f=_to_np(data["f"]).astype(np.int32),
+        parents=tuple([-1] + [int(p) for p in
+                              _to_np(data["kintree_table"])[0][1:].tolist()]),
     )
 
 
@@ -64,6 +119,10 @@ def synthetic_smpl_arrays(num_vertices: int = NUM_VERTICES, seed: int = 0) -> di
     lowest, matching the floor logic in the reference net.py:49); vertices
     cluster around their dominant joint with soft skinning to the parent.
     """
+    if num_vertices < NUM_JOINTS:
+        raise ValueError(f"synthetic body needs >= {NUM_JOINTS} vertices "
+                         f"(one per joint for the regressor), got "
+                         f"{num_vertices}")
     rng = np.random.RandomState(seed)
     # Rough T-pose joint positions (y-up, meters): pelvis at origin.
     J = np.array([

@@ -78,7 +78,6 @@ class PhysicsOptimizer:
         pose_out = jnp.where(state.initialized, pose_smoothed, pose)
 
         if self.body is not None:
-            j, _ = self.body.get_zero_pose_joint_and_vertex()
             _, joints = self.body.forward_kinematics(pose_out[None])
             lfoot, rfoot = joints[0, 10] + tran, joints[0, 11] + tran
             prob = jax.nn.sigmoid(jnp.asarray(contact))

@@ -30,6 +30,13 @@ from mobileposer_tpu.stream.calibration import (
 from mobileposer_tpu.stream.imuset import Clock, IMUSet
 
 
+def stack_recording(recorded: dict) -> dict:
+    """Stack per-frame recording lists into arrays (tolerates live dicts
+    salvaged mid-run)."""
+    return {k: np.stack(v) if v else np.zeros(0)
+            for k, v in recorded.items()}
+
+
 class UnityExporter:
     """TCP server streaming pose+tran strings to a Unity viewer
     (reference: live_demo.py:185-190, 256-260)."""
@@ -116,6 +123,9 @@ class LivePoser:
         clock = Clock()
         recorded = ({"acc": [], "ori": [], "raw_acc": [], "raw_ori": [],
                      "pose": [], "tran": []} if record else None)
+        # expose the live buffers so callers can salvage a recording when an
+        # interrupt escapes run() itself (e.g. lands in stop_reading)
+        self.last_recording = recorded
         t0 = time.time()
         try:
             while duration is None or time.time() - t0 < duration:
@@ -151,7 +161,7 @@ class LivePoser:
         finally:
             self.imu_set.stop_reading()
         if recorded is not None:
-            return {k: np.stack(v) if v else np.zeros(0) for k, v in recorded.items()}
+            return stack_recording(recorded)
         return None
 
 

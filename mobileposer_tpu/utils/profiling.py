@@ -56,8 +56,10 @@ class StepTimer:
     def measure(self, fn, *args) -> float:
         t0 = time.perf_counter()
         out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.numpy.ravel(leaf)[0])
+        # force EVERY leaf: outputs from separate dispatches would
+        # otherwise still be in flight when the clock is read
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(jax.numpy.ravel(leaf)[0])
         dt = time.perf_counter() - t0
         self.samples.append(dt)
         self.samples = self.samples[-self.window:]

@@ -28,7 +28,11 @@ def evaluate_over_dataset(predict_fn: Callable, loss_fns: Sequence[Callable],
         n += 1
         if verbose:
             print(f"batch {n}: " + " ".join("%.6f" % (t / n) for t in totals))
-    return totals / max(n, 1)
+    if n == 0:
+        raise ValueError("evaluate_over_dataset got no batches — all-zero "
+                         "losses would be indistinguishable from a perfect "
+                         "model")
+    return totals / n
 
 
 def evaluate_next_batch(predict_fn: Callable, loss_fns: Sequence[Callable],

@@ -123,3 +123,57 @@ def test_orientation_monitor(capsys):
     out = mon.render(sd)
     assert out is not None and "Left_phone" in out
     assert "0.10" in out
+
+
+def test_chumpy_shim_smpl_load(tmp_path):
+    """Official-style SMPL pickles referencing chumpy load without chumpy
+    installed (the shim captures the objects; arrays come from .x)."""
+    import pickle
+    import sys
+    import types
+    from mobileposer_tpu.kinematics.smpl import (
+        load_smpl_arrays, synthetic_smpl_arrays)
+
+    # fabricate a 'chumpy' module, pickle objects from it, then remove it
+    fake = types.ModuleType("chumpy")
+    exec("class Ch:\n    def __init__(self, x):\n        self.x = x\n",
+         fake.__dict__)
+    Ch = fake.Ch
+    sys.modules["chumpy"] = fake
+    arrays = synthetic_smpl_arrays(num_vertices=48)
+    data = {
+        "J_regressor": arrays["J_regressor"],
+        "weights": arrays["weights"],
+        "posedirs": Ch(arrays["posedirs"]),
+        "shapedirs": Ch(arrays["shapedirs"]),
+        "v_template": Ch(arrays["v_template"]),
+        "J": Ch(arrays["J"]),
+        "f": arrays["f"],
+        "kintree_table": np.stack([
+            np.array([0xffffffff] + list(arrays["parents"][1:]), np.int64),
+            np.arange(24)]),
+    }
+    path = tmp_path / "smpl.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    del sys.modules["chumpy"]            # simulate chumpy not installed
+    try:
+        out = load_smpl_arrays(str(path))
+    finally:
+        sys.modules.pop("chumpy", None)
+    np.testing.assert_allclose(out["v_template"], arrays["v_template"])
+    np.testing.assert_allclose(out["shapedirs"], arrays["shapedirs"])
+    assert out["parents"][0] == -1
+    assert out["parents"][1:] == tuple(arrays["parents"][1:])
+
+
+def test_synthetic_body_too_small_raises():
+    from mobileposer_tpu.kinematics.smpl import synthetic_smpl_arrays
+    with pytest.raises(ValueError, match="vertices"):
+        synthetic_smpl_arrays(num_vertices=16)
+
+
+def test_evaluate_over_dataset_empty_raises():
+    from mobileposer_tpu.utils.testing import evaluate_over_dataset
+    with pytest.raises(ValueError, match="no batches"):
+        evaluate_over_dataset(lambda b: b, [lambda p, b: 0.0], [])
