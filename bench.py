@@ -6,13 +6,26 @@ four modules per frame on GPU (reference net.py:174-219); here the same
 semantics run as a device-resident `lax.scan` over frames (one dispatch for
 the whole run) with many independent streams batched via vmap.
 
-Timing is transport-honest: the whole frame loop executes inside one jit
-region, a single scalar is fetched at the end, and the measured transport
-round trip is subtracted (see benchmarks/timing.py — on tunneled devices
-`block_until_ready` alone under-reports).
+Honesty requirements (round-2 hardening):
+  * the timed program returns a reduction over ALL FOUR outputs (pose,
+    joints, translation, contact) so XLA cannot dead-code-eliminate the
+    poser/IK path — an earlier version summed only `root` and measured a
+    program 12x smaller than serving actually runs;
+  * timing is transport-honest: the whole frame loop executes inside one
+    jit region, a single scalar is fetched at the end, and the measured
+    transport round trip is subtracted (benchmarks/timing.py — on tunneled
+    devices `block_until_ready` alone under-reports);
+  * the JSON line carries an analytic matmul-FLOP model
+    (benchmarks/flops.py) -> `model_flops_per_sec` and `pct_of_peak`, so an
+    implied MFU above chip peak would flag a broken harness, not a fast
+    chip;
+  * BENCH_CHECKS=1 additionally runs (a) a linearity check (4x the frames
+    must take ~4x the device time) and (b) a device-resident chained
+    repetition (R runs serialized by a data dependency inside one jit) and
+    embeds both ratios in the JSON line.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 import json
@@ -28,12 +41,15 @@ BASELINE_FPS = 10_000.0  # north-star target, frames/sec/chip
 
 
 def main():
+    from benchmarks.flops import (DEFAULT_PEAK,
+                                  streaming_flops_per_emitted_frame)
     from benchmarks.timing import rtt_seconds, timed_fetch
     from mobileposer_tpu.kinematics import ParametricModel
     from mobileposer_tpu.models import MobilePoserNet, init_all_modules
 
     n_streams = int(os.environ.get("BENCH_STREAMS", "256"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
+    run_checks = os.environ.get("BENCH_CHECKS", "0") == "1"
 
     body = ParametricModel.from_file_or_synthetic(None)
     net = MobilePoserNet(body)
@@ -44,13 +60,14 @@ def main():
     states = jax.tree_util.tree_map(jnp.asarray,
                                     net.init_online_state_batched(n_streams))
 
-    # One dispatch: batch-major streams, scan over frames inside; returns a
-    # scalar so the fetch is cheap but forces full execution.
+    # One dispatch: batch-major streams, scan over frames inside. The
+    # returned scalar folds in every output so the full serving program
+    # (including the poser -> IK -> local-pose path) is executed.
     @jax.jit
     def run(params, states, frames):
         (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
             params, states, frames)
-        return root.sum()
+        return pose.sum() + joints.sum() + root.sum() + contact.sum()
 
     rng = np.random.RandomState(0)
     frames = jnp.asarray(
@@ -58,14 +75,49 @@ def main():
 
     rtt = rtt_seconds()
     wall = timed_fetch(run, params, states, frames)
-    fps = n_streams * n_frames / max(wall - rtt, 1e-9)
+    dev = max(wall - rtt, 1e-9)
+    fps = n_streams * n_frames / dev
 
-    print(json.dumps({
+    flops_per_frame = streaming_flops_per_emitted_frame()
+    result = {
         "metric": "streamed_imu_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+        "model_flops_per_frame": round(flops_per_frame),
+        "model_flops_per_sec": round(fps * flops_per_frame),
+        "pct_of_peak": round(100.0 * fps * flops_per_frame / DEFAULT_PEAK, 2),
+        "streams": n_streams,
+        "frames": n_frames,
+        "rtt_seconds": round(rtt, 4),
+        "device_seconds": round(dev, 4),
+    }
+
+    if run_checks:
+        # Linearity: 4x frames must cost ~4x device time (a sublinear ratio
+        # means the harness, not the chip, made the number).
+        frames4 = jnp.asarray(
+            rng.randn(4 * n_frames, n_streams, 60).astype(np.float32) * 0.1)
+        dev4 = max(timed_fetch(run, params, states, frames4) - rtt, 1e-9)
+        result["linearity_x4"] = round(dev4 / dev, 3)
+
+        # Chained repetition: R serialized runs inside one jit region (data
+        # dependency via the accumulated scalar) — agreement with the
+        # per-call number rules out transport/async artifacts.
+        R = 3
+
+        @jax.jit
+        def run_chained(params, states, frames):
+            def body_fn(_, acc):
+                out = run.__wrapped__(params, states, frames + acc * 1e-20)
+                return out
+            return jax.lax.fori_loop(0, R, body_fn, jnp.float32(0.0))
+
+        devR = max(timed_fetch(run_chained, params, states, frames) - rtt,
+                   1e-9)
+        result["chained_per_run_ratio"] = round((devR / R) / dev, 3)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,71 @@
+"""Analytic matmul-FLOP model for the MobilePoser compute paths.
+
+Counts the MXU work (matmul multiply-adds, 2 FLOPs per MAC) of the RNN
+blocks; elementwise gate math (sigmoid/tanh, VPU) and the tiny per-frame
+kinematics (24 3x3 matmuls in IK/FK, ~4k FLOPs/frame) are excluded, which
+is the standard model-FLOPs convention for MFU. Derived entirely from
+`MODULE_CONFIGS` so architecture changes propagate.
+
+Used by bench.py / benchmarks/run.py to turn measured wall time into
+`model_flops_per_sec` and `pct_of_peak`, making the headline number
+auditable: implied MFU far above ~100% of chip peak would mean the timing
+harness, not the chip, produced the number.
+"""
+
+from __future__ import annotations
+
+from mobileposer_tpu.models.modules import MODULE_CONFIGS
+from mobileposer_tpu.models.net import NUM_TOTAL
+
+# Per-chip dense peak, bf16 MACs via the MXU. JAX's default matmul
+# precision on TPU feeds fp32 operands to the MXU as bf16, so this is the
+# relevant ceiling for both our fp32 and bf16 paths.
+TPU_PEAK_FLOPS = {
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+}
+DEFAULT_PEAK = TPU_PEAK_FLOPS["v5e"]
+
+
+def rnn_block_flops_per_frame(cfg) -> float:
+    """Matmul FLOPs for one timestep of one stream through one RNN block:
+    linear1 -> n_layers x (bi)LSTM -> linear2."""
+    n_dir = 2 if cfg.bidirectional else 1
+    f = 2.0 * cfg.n_input * cfg.n_hidden                      # linear1
+    for layer in range(cfg.n_layers):
+        n_in = cfg.n_hidden if layer == 0 else cfg.n_hidden * n_dir
+        per_dir = 2.0 * (n_in * 4 * cfg.n_hidden              # x @ w_ih
+                         + cfg.n_hidden * 4 * cfg.n_hidden)   # h @ w_hh
+        f += n_dir * per_dir
+    f += 2.0 * cfg.n_hidden * n_dir * cfg.n_output            # linear2
+    return f
+
+
+def forward_flops_per_frame(modules=("joints", "poser", "footcontact",
+                                     "velocity")) -> float:
+    """One window-frame of one stream through the chained modules."""
+    return sum(rnn_block_flops_per_frame(MODULE_CONFIGS[m]) for m in modules)
+
+
+def streaming_flops_per_emitted_frame(window: int = NUM_TOTAL) -> float:
+    """One emitted streaming frame re-runs the full `window` through all
+    four modules (reference semantics, net.py:174-178)."""
+    return window * forward_flops_per_frame()
+
+
+def training_flops_per_frame(module: str) -> float:
+    """Fwd + bwd for one window frame of one sequence (bwd ~= 2x fwd)."""
+    return 3.0 * rnn_block_flops_per_frame(MODULE_CONFIGS[module])
+
+
+def mfu(flops_per_sec: float, peak: float = DEFAULT_PEAK) -> float:
+    return flops_per_sec / peak
+
+
+if __name__ == "__main__":
+    for name, cfg in MODULE_CONFIGS.items():
+        print(f"{name:12s} {rnn_block_flops_per_frame(cfg)/1e6:8.3f} MFLOP/frame")
+    print(f"forward (4 modules): {forward_flops_per_frame()/1e6:.3f} MFLOP/frame")
+    print(f"streaming (x{NUM_TOTAL} window): "
+          f"{streaming_flops_per_emitted_frame()/1e6:.3f} MFLOP/emitted frame")

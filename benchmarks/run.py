@@ -14,6 +14,13 @@ iterations on device inside one jit region with a data dependency between
 iterations, fetches one scalar, and subtracts the measured round trip —
 naive per-call timing on a tunneled TPU measures the transport, and
 `block_until_ready` alone under-reports.
+
+Every chained dependency folds in a reduction over ALL outputs of the
+benched program (pose, joints, translation, contact) so XLA cannot
+dead-code-eliminate a branch — chaining only `tran` silently dropped the
+poser->IK path (round-1 lesson). Where an analytic matmul-FLOP model
+exists (benchmarks/flops.py) the result carries `model_flops_per_sec` and
+`pct_of_peak` so implausible numbers are self-flagging.
 """
 
 from __future__ import annotations
@@ -31,7 +38,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from benchmarks.flops import (DEFAULT_PEAK, forward_flops_per_frame,
+                              streaming_flops_per_emitted_frame,
+                              training_flops_per_frame)
 from benchmarks.timing import rtt_seconds, timed_fetch
+
+
+def _flops_fields(frames_per_sec: float, flops_per_frame: float) -> dict:
+    fps_flops = frames_per_sec * flops_per_frame
+    return {"model_flops_per_sec": round(fps_flops),
+            "pct_of_peak": round(100.0 * fps_flops / DEFAULT_PEAK, 2)}
 
 
 def bench_dip_pose_only(net, params, rtt):
@@ -50,14 +66,22 @@ def bench_dip_pose_only(net, params, rtt):
             xx = jnp.concatenate([joints, x], axis=-1)
             r6d, _ = module_apply("poser", params["poser"], xx, backend="auto")
             pose = reduced_global_to_full(r6d.reshape(-1, 96), net.body_model)
-            return imu + pose[0, 0, 0, 0] * 1e-12     # chain dependency
+            # chain dependency over ALL outputs so nothing is elided
+            return imu + (pose.sum() + joints.sum()) * 1e-12
         out = jax.lax.fori_loop(0, R, body, imu)
         return out.sum()
 
     wall = timed_fetch(run, params, imu0, reps=3)
     dt = max(wall - rtt, 1e-9) / R
-    return {"metric": "dip_pose_only_frames_per_sec", "value": round(T / dt, 1),
-            "unit": "frames/s", "seq_len": T}
+    fps = T / dt
+    return {"metric": "dip_pose_only_frames_per_sec", "value": round(fps, 1),
+            "unit": "frames/s", "seq_len": T,
+            **_flops_fields(fps, forward_flops_per_frame(("joints", "poser")))}
+
+
+def _offline_all_outputs_dep(net, params, imu):
+    pose, joints, tran, contact = net.forward_offline(params, imu)
+    return (pose.sum() + joints.sum() + tran.sum() + contact.sum())
 
 
 def bench_full_net_offline(net, params, rtt):
@@ -68,15 +92,16 @@ def bench_full_net_offline(net, params, rtt):
     @jax.jit
     def run(params, imu):
         def body(_, imu):
-            _, _, tran, _ = net.forward_offline(params, imu)
-            return imu + tran[-1, 0] * 1e-12
+            return imu + _offline_all_outputs_dep(net, params, imu) * 1e-12
         out = jax.lax.fori_loop(0, R, body, imu)
         return out.sum()
 
     wall = timed_fetch(run, params, imu0, reps=3)
     dt = max(wall - rtt, 1e-9) / R
+    fps = T / dt
     return {"metric": "full_net_offline_frames_per_sec",
-            "value": round(T / dt, 1), "unit": "frames/s", "seq_len": T}
+            "value": round(fps, 1), "unit": "frames/s", "seq_len": T,
+            **_flops_fields(fps, forward_flops_per_frame())}
 
 
 def bench_long_seq_drift(net, params, rtt):
@@ -88,8 +113,7 @@ def bench_long_seq_drift(net, params, rtt):
     @jax.jit
     def run(params, imu):
         def body(_, imu):
-            _, _, tran, _ = net.forward_offline(params, imu)
-            return imu + tran[-1, 0] * 1e-12
+            return imu + _offline_all_outputs_dep(net, params, imu) * 1e-12
         return jax.lax.fori_loop(0, R, body, imu).sum()
 
     wall = timed_fetch(run, params, imu0, reps=3)
@@ -99,9 +123,11 @@ def bench_long_seq_drift(net, params, rtt):
     t0 = time.perf_counter()
     translation_drift(np.asarray(tran_p), tran_t)
     drift_s = time.perf_counter() - t0
+    fps = T / dt
     return {"metric": "long_seq_offline_frames_per_sec",
-            "value": round(T / dt, 1), "unit": "frames/s", "seq_len": T,
-            "drift_eval_seconds": round(drift_s, 3)}
+            "value": round(fps, 1), "unit": "frames/s", "seq_len": T,
+            "drift_eval_seconds": round(drift_s, 3),
+            **_flops_fields(fps, forward_flops_per_frame())}
 
 
 def bench_combo_streaming(net, params, rtt):
@@ -117,7 +143,7 @@ def bench_combo_streaming(net, params, rtt):
     def run(params, states, frames):
         (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
             params, states, frames)
-        return root.sum()
+        return pose.sum() + joints.sum() + root.sum() + contact.sum()
 
     rng = np.random.RandomState(4)
     acc = rng.randn(n_frames, n_streams, 5, 3).astype(np.float32) * 0.1
@@ -131,7 +157,8 @@ def bench_combo_streaming(net, params, rtt):
     fps = n_streams * n_frames / max(wall - rtt, 1e-9)
     return {"metric": "combo_streaming_frames_per_sec",
             "value": round(fps, 1), "unit": "frames/s",
-            "streams": n_streams, "combos": len(COMBO_MASKS)}
+            "streams": n_streams, "combos": len(COMBO_MASKS),
+            **_flops_fields(fps, streaming_flops_per_emitted_frame())}
 
 
 def bench_train_throughput(net, params, rtt):
@@ -150,7 +177,7 @@ def bench_train_throughput(net, params, rtt):
         "contacts": (jnp.asarray(rng.rand(B, T, 2)) > 0.5).astype(jnp.float32),
         "lengths": jnp.full((B,), T, jnp.int32),
     }
-    out = {}
+    out, mfu = {}, {}
     for name in ("joints", "poser", "footcontact", "velocity"):
         state = init_train_state(name, jax.random.PRNGKey(0), 1e-3)
         opt = make_optimizer(name, 1e-3)
@@ -172,8 +199,10 @@ def bench_train_throughput(net, params, rtt):
         wall = timed_fetch(run, state.params, state.opt_state, batch, reps=3)
         dt = max(wall - rtt, 1e-9) / R
         out[name] = round(B / dt, 1)
+        mfu[name] = round(100.0 * (B / dt) * T * training_flops_per_frame(name)
+                          / DEFAULT_PEAK, 2)
     return {"metric": "train_windows_per_sec", "value": out,
-            "unit": "windows(125f)/s", "batch": B}
+            "unit": "windows(125f)/s", "batch": B, "pct_of_peak": mfu}
 
 
 def bench_stream_latency(net, params, rtt):
@@ -187,7 +216,7 @@ def bench_stream_latency(net, params, rtt):
     def run(params, state, frames):
         (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
             params, state, frames)
-        return root.sum()
+        return pose.sum() + joints.sum() + root.sum() + contact.sum()
 
     frames = jnp.asarray(
         np.random.RandomState(6).randn(N, 1, 60).astype(np.float32) * 0.1)

