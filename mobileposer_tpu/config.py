@@ -25,10 +25,11 @@ class TrainHypers:
     num_epochs: int = 60
     lr: float = 1e-3
     seed: int = 42
-    # TPU-specific knobs (no reference equivalent).
-    dtype: str = "float32"          # parameter dtype
-    compute_dtype: str = "float32"  # activation dtype (bfloat16 for speed)
-    data_axis: str = "data"         # mesh axis for batch sharding
+    # Training runs float32 end-to-end by design: JAX's default matmul
+    # precision already feeds the MXU bf16 operands, and a bf16 activation
+    # knob measured as a non-win on this workload (see docs/design.md §6;
+    # bf16 *inference* weights are available via nn.torch_convert.cast_params
+    # / `serve --bf16`). Mesh axis naming lives in parallel/mesh.DATA_AXIS.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,23 +95,100 @@ def forward_offline_batched(net: MobilePoserNet, params: dict,
     return pose, joints, tran, contact
 
 
+def _bucket_len(n: int, bucket: int) -> int:
+    return max(bucket, -(-n // bucket) * bucket)
+
+
+def _predict_offline_batched(net, params, imus, bucket, max_batch):
+    """Offline predictions for a list of [T_i, 60] sequences, batched by
+    padded-length group. Returns [(pose [T_i,24,3,3], tran [T_i,3]), ...].
+
+    Sequences are grouped by their padded bucket length and stacked (chunks
+    padded up to a power-of-two batch so jit compiles O(log) programs per
+    length group, not one per chunk size); N sequences cost ~one dispatch
+    per group instead of N (reference iterates sequences one by one,
+    evaluate.py:48-58).
+    """
+    from mobileposer_tpu.evaluation.evaluator import _pad_to_bucket
+    run = jax.jit(lambda p, b, l: forward_offline_batched(net, p, b, l))
+    ns = [x.shape[0] for x in imus]
+    groups: Dict[int, List[int]] = {}
+    for i, n in enumerate(ns):
+        groups.setdefault(_bucket_len(n, bucket), []).append(i)
+    out: List = [None] * len(imus)
+    for P, idxs in sorted(groups.items()):
+        for c0 in range(0, len(idxs), max_batch):
+            chunk = idxs[c0:c0 + max_batch]
+            n_pad = 1 << (len(chunk) - 1).bit_length()   # pow2 batch bucket
+            batch = np.zeros((n_pad, P, imus[0].shape[-1]), np.float32)
+            lengths = np.zeros((n_pad,), np.int32)
+            for k, i in enumerate(chunk):
+                batch[k] = _pad_to_bucket(imus[i], P)
+                lengths[k] = ns[i]
+            pose, _, tran, _ = run(params, jnp.asarray(batch),
+                                   jnp.asarray(lengths))
+            pose, tran = np.asarray(pose), np.asarray(tran)
+            for k, i in enumerate(chunk):
+                out[i] = (pose[k, :ns[i]], tran[k, :ns[i]])
+    return out
+
+
+def _predict_online_batched(net, params, imus, num_future_frames, bucket,
+                            max_batch):
+    """ONLINE-protocol predictions for a list of sequences, batched as
+    independent streams (reference protocol: evaluate.py:62-64 — per-frame
+    streaming with `num_future_frames` of last-frame padding).
+
+    Each sequence becomes one stream of `forward_online_sequence_batched`
+    with fresh state; streams are padded to a common scan length per group.
+    Outputs at frame t depend only on frames <= t, so tail padding cannot
+    affect the sliced-off prefix.
+    """
+    run = jax.jit(net.forward_online_sequence_batched)
+    ns = [x.shape[0] + num_future_frames for x in imus]
+    groups: Dict[int, List[int]] = {}
+    for i, n in enumerate(ns):
+        groups.setdefault(_bucket_len(n, bucket), []).append(i)
+    out: List = [None] * len(imus)
+    for P, idxs in sorted(groups.items()):
+        for c0 in range(0, len(idxs), max_batch):
+            chunk = idxs[c0:c0 + max_batch]
+            n_pad = 1 << (len(chunk) - 1).bit_length()
+            frames = np.zeros((P, n_pad, imus[0].shape[-1]), np.float32)
+            for k, i in enumerate(chunk):
+                seq = np.concatenate(
+                    [imus[i], np.repeat(imus[i][-1:], P - imus[i].shape[0],
+                                        axis=0)])
+                frames[:, k] = seq
+            state = net.init_online_state_batched(n_pad)
+            (poses, _, trans, _), _ = run(params, state, jnp.asarray(frames))
+            poses, trans = np.asarray(poses), np.asarray(trans)
+            for k, i in enumerate(chunk):
+                out[i] = (poses[num_future_frames:ns[i], k],
+                          trans[num_future_frames:ns[i], k])
+    return out
+
+
 def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
                   online: bool = False, evaluate_tran: bool = False,
                   num_future_frames: int = C.model_config.future_frames,
-                  verbose: bool = True):
+                  verbose: bool = True, batch_sequences: bool = True,
+                  max_batch: int = 64):
     """Offline (and optionally online) evaluation over a sequence dataset
     (reference: evaluate.py:39-107).
 
     dataset yields (imu [T,60], pose_local [T,24,3,3], joints, tran [T,3]).
     Returns dict with 'offline' [8,2], optional 'online' [8,2] and
     'tran_errors' {window: mean}.
+
+    batch_sequences=True (default) groups sequences by padded length and
+    runs both protocols batched — N sequences per group cost ~one dispatch.
+    False keeps the per-sequence path (same numbers, used as the oracle in
+    tests).
     """
     evaluator = PoseEvaluator(net.body_model)
     offline_errs, online_errs = [], []
     tran_errors: Dict[int, List[float]] = {w: [] for w in range(1, 8)}
-
-    forward_offline = jax.jit(net.forward_offline)
-    forward_online_seq = jax.jit(net.forward_online_sequence) if online else None
 
     # Pad every sequence to the evaluator's bucket size so one compiled
     # program serves any length (jit specializes on T; per-sequence
@@ -120,39 +197,62 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
     # time, so the valid prefix is identical to an unpadded run.
     from mobileposer_tpu.evaluation.evaluator import _BUCKET, _pad_to_bucket
 
-    def _pad_bucket(x):
-        n = x.shape[0]
-        n_pad = max(_BUCKET, -(-n // _BUCKET) * _BUCKET)
-        return _pad_to_bucket(np.asarray(x), n_pad), n
+    items = list(dataset)
+    imus = [np.asarray(item[0], np.float32) for item in items]
 
-    for item in dataset:
-        imu, pose_t, _, tran_t = item[0], item[1], item[2], item[3]
-        imu_padded, n = _pad_bucket(np.asarray(imu))
-        pose_p, joints_p, tran_p, _ = forward_offline(
-            params, jnp.asarray(imu_padded), length=jnp.asarray(n))
-        pose_p, tran_p = pose_p[:n], tran_p[:n]
+    if batch_sequences:
+        offline_preds = _predict_offline_batched(net, params, imus, _BUCKET,
+                                                 max_batch)
+        online_preds = (_predict_online_batched(net, params, imus,
+                                                num_future_frames, _BUCKET,
+                                                max_batch)
+                        if online else [None] * len(items))
+    else:
+        forward_offline = jax.jit(net.forward_offline)
+        forward_online_seq = (jax.jit(net.forward_online_sequence)
+                              if online else None)
+
+        def _pad_bucket(x):
+            n = x.shape[0]
+            return _pad_to_bucket(np.asarray(x), _bucket_len(n, _BUCKET)), n
+
+        offline_preds, online_preds = [], []
+        for imu in imus:
+            imu_padded, n = _pad_bucket(imu)
+            pose_p, _, tran_p, _ = forward_offline(
+                params, jnp.asarray(imu_padded), length=jnp.asarray(n))
+            offline_preds.append((np.asarray(pose_p)[:n],
+                                  np.asarray(tran_p)[:n]))
+            if online:
+                # frame-by-frame protocol with last-frame padding
+                # (reference: evaluate.py:62-64), as one scanned dispatch
+                state = net.init_online_state()
+                frames = np.concatenate(
+                    [imu, np.repeat(imu[-1:], num_future_frames, axis=0)])
+                frames_padded, n_frames = _pad_bucket(frames)
+                (poses, _, trans, _), _ = forward_online_seq(
+                    params, state, jnp.asarray(frames_padded))
+                online_preds.append(
+                    (np.asarray(poses)[num_future_frames:n_frames],
+                     np.asarray(trans)[num_future_frames:n_frames]))
+            else:
+                online_preds.append(None)
+
+    for item, off_p, on_p in zip(items, offline_preds, online_preds):
+        pose_t, tran_t = item[1], item[3]
+        pose_p, tran_p = off_p
 
         if online:
-            # frame-by-frame protocol with `num_future_frames` of last-frame
-            # padding (reference: evaluate.py:62-64), as one scanned dispatch
-            state = net.init_online_state()
-            frames = np.concatenate(
-                [imu, np.repeat(imu[-1:], num_future_frames, axis=0)])
-            frames_padded, n_frames = _pad_bucket(frames)
-            (poses, _, trans, _), _ = forward_online_seq(
-                params, state, jnp.asarray(frames_padded))
-            pose_po = np.asarray(poses)[num_future_frames:n_frames]
-            tran_po = np.asarray(trans)[num_future_frames:n_frames]
+            pose_po, tran_po = on_p
             online_errs.append(evaluator.eval(pose_po, pose_t,
                                               tran_p=tran_po, tran_t=tran_t))
 
         if evaluate_tran:
-            for w, err in translation_drift(np.asarray(tran_p), tran_t).items():
+            for w, err in translation_drift(tran_p, tran_t).items():
                 tran_errors[w].append(err)
 
-        offline_errs.append(evaluator.eval(np.asarray(pose_p), pose_t,
-                                           tran_p=np.asarray(tran_p),
-                                           tran_t=tran_t))
+        offline_errs.append(evaluator.eval(pose_p, pose_t,
+                                           tran_p=tran_p, tran_t=tran_t))
 
     result = {"offline": np.mean(np.stack(offline_errs), axis=0)}
     if verbose:

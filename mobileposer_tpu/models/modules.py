@@ -70,52 +70,63 @@ def module_apply(name: str, params: dict, x: jnp.ndarray,
 # Loss helpers
 # ---------------------------------------------------------------------------
 
-def _length_mask(x: jnp.ndarray, lengths) -> Optional[jnp.ndarray]:
-    """[B, T, 1] validity mask, or None when lengths is None."""
+def _length_mask(x: jnp.ndarray, lengths,
+                 time_major: bool = False) -> Optional[jnp.ndarray]:
+    """Validity mask matching x's layout ([B, T, 1] or [T, B, 1]), or None
+    when lengths is None. `lengths` is always [B]."""
     if lengths is None:
         return None
-    T = x.shape[1]
-    return (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)[..., None]
+    if time_major:
+        T = x.shape[0]
+        m = jnp.arange(T)[:, None] < lengths[None, :]
+    else:
+        T = x.shape[1]
+        m = jnp.arange(T)[None, :] < lengths[:, None]
+    return m.astype(x.dtype)[..., None]
 
 
-def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, lengths=None) -> jnp.ndarray:
+def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, lengths=None,
+               time_major: bool = False) -> jnp.ndarray:
     """MSE over valid positions (reference: plain nn.MSELoss)."""
     err = (pred - target) ** 2
-    m = _length_mask(pred, lengths)
+    m = _length_mask(pred, lengths, time_major)
     if m is None:
         return jnp.mean(err)
     return jnp.sum(err * m) / (jnp.sum(m) * err.shape[-1])
 
 
 def temporal_smoothness_loss(pred: jnp.ndarray, order: int = 2,
-                             lengths=None) -> jnp.ndarray:
+                             lengths=None,
+                             time_major: bool = False) -> jnp.ndarray:
     """L1 norm of the `order`-th finite time difference, summed over time,
     averaged over batch (reference: joints.py:71-75 for order=2, the
     "temporal" loss; poser.py:100-103 for order=3, the "jerk" loss)."""
-    d = pred
-    for _ in range(order):
-        d = d[:, 1:] - d[:, :-1]
-    l1 = jnp.sum(jnp.abs(d), axis=2)                  # [B, T-order]
+    t_ax = 0 if time_major else 1
+    d = jnp.diff(pred, n=order, axis=t_ax)
+    l1 = jnp.sum(jnp.abs(d), axis=2)          # [B, T-order] or [T-order, B]
     if lengths is not None:
-        T = pred.shape[1]
-        valid = (jnp.arange(T - order)[None, :] + order < lengths[:, None])
+        T = pred.shape[t_ax]
+        idx = jnp.arange(T - order) + order
+        valid = (idx[:, None] < lengths[None, :] if time_major
+                 else idx[None, :] < lengths[:, None])
         l1 = l1 * valid.astype(l1.dtype)
-    return jnp.mean(jnp.sum(l1, axis=1))
+    return jnp.mean(jnp.sum(l1, axis=t_ax))
 
 
 def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray,
-                    lengths=None) -> jnp.ndarray:
+                    lengths=None, time_major: bool = False) -> jnp.ndarray:
     """Binary cross-entropy on logits (reference: footcontact.py loss)."""
     per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))
-    m = _length_mask(logits, lengths)
+    m = _length_mask(logits, lengths, time_major)
     if m is None:
         return jnp.mean(per)
     return jnp.sum(per * m) / (jnp.sum(m) * per.shape[-1])
 
 
 def multiscale_velocity_loss(pred: jnp.ndarray, target: jnp.ndarray,
-                             lengths=None) -> jnp.ndarray:
+                             lengths=None,
+                             time_major: bool = False) -> jnp.ndarray:
     """Sum of per-chunk MSEs over chunk sizes n in {1, 3, 9}
     (reference: velocity.py:74-86).
 
@@ -126,20 +137,31 @@ def multiscale_velocity_loss(pred: jnp.ndarray, target: jnp.ndarray,
     reshape + segment mean, static-shaped under jit.
     """
     total = 0.0
-    B, T, D = pred.shape
+    if time_major:
+        T, B, D = pred.shape
+    else:
+        B, T, D = pred.shape
     err = (pred - target) ** 2
-    m = _length_mask(pred, lengths)
+    m = _length_mask(pred, lengths, time_major)
     if m is not None:
         err = err * m
     for n in (1, 3, 9):
         n_chunks = T // n
-        e = err[:, :n_chunks * n].reshape(B, n_chunks, n, D)
-        if m is None:
+        if time_major:
+            e = err[:n_chunks * n].reshape(n_chunks, n, B, D)
+            sum_axes = (1, 2, 3)
+            mm = (None if m is None
+                  else m[:n_chunks * n].reshape(n_chunks, n, B, 1))
+        else:
+            e = err[:, :n_chunks * n].reshape(B, n_chunks, n, D)
+            sum_axes = (0, 2, 3)
+            mm = (None if m is None
+                  else m[:, :n_chunks * n].reshape(B, n_chunks, n, 1))
+        if mm is None:
             counts = jnp.full((n_chunks,), B * n * D, err.dtype)
         else:
-            mm = m[:, :n_chunks * n].reshape(B, n_chunks, n, 1)
-            counts = mm.sum(axis=(0, 2, 3)) * D
-        chunk_mean = e.sum(axis=(0, 2, 3)) / jnp.maximum(counts, 1.0)
+            counts = mm.sum(axis=sum_axes) * D
+        chunk_mean = e.sum(axis=sum_axes) / jnp.maximum(counts, 1.0)
         total = total + jnp.sum(chunk_mean)
     return total
 
@@ -150,35 +172,45 @@ def multiscale_velocity_loss(pred: jnp.ndarray, target: jnp.ndarray,
 
 T_WEIGHT = 1e-5  # temporal-loss weight (reference: joints.py:33, poser.py:36)
 
+# Every loss takes `time_major`: when True, batch arrays are [T, B, ...]
+# (lengths stays [B]) and the module runs time-major end-to-end, skipping
+# the [B,T]<->[T,B] transpose round-trip that batch-major chaining pays
+# around the LSTM core (the core is time-major internally).
 
-def joints_loss(params, batch, rng, train: bool = True):
+
+def joints_loss(params, batch, rng, train: bool = True,
+                time_major: bool = False):
     """MSE + 1e-5 * 2nd-diff temporal L1 (reference: joints.py:54-75)."""
     imu, lengths, target_joints = batch["imu"], batch.get("lengths"), batch["joints"]
     drng = jax.random.fold_in(rng, 0)
     pred, _ = module_apply("joints", params, imu, lengths,
-                           train=train, dropout_rng=drng)
+                           train=train, dropout_rng=drng,
+                           time_major=time_major)
     tgt = target_joints.reshape(pred.shape)
-    return masked_mse(pred, tgt, lengths) + T_WEIGHT * temporal_smoothness_loss(
-        pred, 2, lengths)
+    return (masked_mse(pred, tgt, lengths, time_major)
+            + T_WEIGHT * temporal_smoothness_loss(pred, 2, lengths, time_major))
 
 
-def poser_loss(params, batch, rng, body_model=None, train: bool = True):
+def poser_loss(params, batch, rng, body_model=None, train: bool = True,
+               time_major: bool = False):
     """r6d MSE + 1e-5 * jerk L1 + FK joint-position MSE
     (reference: poser.py:65-98). `body_model` enables the position loss."""
     imu, lengths = batch["imu"], batch.get("lengths")
     target_pose = batch["pose_r6d"]          # [B, T, 24, 6] full r6d
     target_joints = batch["joints"]          # [B, T, 72]
-    B, T = imu.shape[:2]
+    A0, A1 = imu.shape[:2]                   # [T, B] when time_major
     noise = jax.random.normal(jax.random.fold_in(rng, 1),
                               target_joints.shape) * NOISE_STD["poser"]
-    noisy = target_joints.reshape(B, T, -1) + noise.reshape(B, T, -1)
+    noisy = target_joints.reshape(A0, A1, -1) + noise.reshape(A0, A1, -1)
     x = jnp.concatenate([noisy, imu], axis=-1)
     pred, _ = module_apply("poser", params, x, lengths, train=train,
-                           dropout_rng=jax.random.fold_in(rng, 2))
-    tgt = target_pose.reshape(B, T, 24, 6)[:, :, jnp.asarray(C.joint_set.reduced)]
-    tgt = tgt.reshape(B, T, -1)
-    loss = masked_mse(pred, tgt, lengths)
-    loss = loss + T_WEIGHT * temporal_smoothness_loss(pred, 3, lengths)
+                           dropout_rng=jax.random.fold_in(rng, 2),
+                           time_major=time_major)
+    tgt = target_pose.reshape(A0, A1, 24, 6)[:, :, jnp.asarray(C.joint_set.reduced)]
+    tgt = tgt.reshape(A0, A1, -1)
+    loss = masked_mse(pred, tgt, lengths, time_major)
+    loss = loss + T_WEIGHT * temporal_smoothness_loss(pred, 3, lengths,
+                                                      time_major)
     if body_model is not None:
         # Position loss directly from the predicted GLOBAL rotations: the
         # reference IK's them to local and FK's back (poser.py:94-95). With
@@ -188,15 +220,17 @@ def poser_loss(params, batch, rng, body_model=None, train: bool = True):
         # parallel matvec + level-parallel adds instead of the IK + 3x3
         # matmul chain, which was 4.3x the rest of the step on v5e.
         from mobileposer_tpu.models.net import reduced_r6d_to_global
-        global_rot = reduced_r6d_to_global(pred.reshape(B * T, -1),
+        global_rot = reduced_r6d_to_global(pred.reshape(A0 * A1, -1),
                                            effective=True)
         joints_p = body_model.joint_positions_from_global(global_rot)
-        joints_p = joints_p.reshape(B, T, -1)
-        loss = loss + masked_mse(joints_p, target_joints.reshape(B, T, -1), lengths)
+        joints_p = joints_p.reshape(A0, A1, -1)
+        loss = loss + masked_mse(joints_p, target_joints.reshape(A0, A1, -1),
+                                 lengths, time_major)
     return loss
 
 
-def footcontact_loss(params, batch, rng, train: bool = True):
+def footcontact_loss(params, batch, rng, train: bool = True,
+                     time_major: bool = False):
     """BCE-with-logits on [L, R] contact (reference: footcontact.py:43-72)."""
     imu, lengths = batch["imu"], batch.get("lengths")
     target_joints = batch["joints"].reshape(imu.shape[0], imu.shape[1], -1)
@@ -205,11 +239,14 @@ def footcontact_loss(params, batch, rng, train: bool = True):
                               target_joints.shape) * NOISE_STD["footcontact"]
     x = jnp.concatenate([target_joints + noise, imu], axis=-1)
     pred, _ = module_apply("footcontact", params, x, lengths, train=train,
-                           dropout_rng=jax.random.fold_in(rng, 4))
-    return bce_with_logits(pred, contacts.reshape(pred.shape), lengths)
+                           dropout_rng=jax.random.fold_in(rng, 4),
+                           time_major=time_major)
+    return bce_with_logits(pred, contacts.reshape(pred.shape), lengths,
+                           time_major)
 
 
-def velocity_loss(params, batch, rng, train: bool = True):
+def velocity_loss(params, batch, rng, train: bool = True,
+                  time_major: bool = False):
     """Multi-scale chunked MSE (reference: velocity.py:51-86)."""
     imu, lengths = batch["imu"], batch.get("lengths")
     target_joints = batch["joints"].reshape(imu.shape[0], imu.shape[1], -1)
@@ -218,5 +255,6 @@ def velocity_loss(params, batch, rng, train: bool = True):
                               target_joints.shape) * NOISE_STD["velocity"]
     x = jnp.concatenate([target_joints + noise, imu], axis=-1)
     pred, _ = module_apply("velocity", params, x, lengths, train=train,
-                           dropout_rng=jax.random.fold_in(rng, 6))
-    return multiscale_velocity_loss(pred, target_vel, lengths)
+                           dropout_rng=jax.random.fold_in(rng, 6),
+                           time_major=time_major)
+    return multiscale_velocity_loss(pred, target_vel, lengths, time_major)

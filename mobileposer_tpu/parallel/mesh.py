@@ -41,11 +41,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Place a host batch dict onto the mesh, batch-dim sharded."""
-    sharding = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
+                batch_dim: int = 0):
+    """Place a host batch dict onto the mesh, batch-dim sharded.
+
+    batch_dim=1 handles time-major batches ([T, B, ...]); 1-D arrays
+    (per-sequence `lengths`) are always sharded on their only axis."""
+    def put(x):
+        d = 0 if np.ndim(x) <= 1 else batch_dim
+        spec = P(*([None] * d), axis_name)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_params(params, mesh: Mesh):
@@ -53,15 +59,20 @@ def replicate_params(params, mesh: Mesh):
         lambda x: jax.device_put(x, replicated(mesh)), params)
 
 
-def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+def pad_batch_to_multiple(batch: dict, multiple: int,
+                          batch_dim: int = 0) -> dict:
     """Pad the batch dim so it divides the mesh; padded rows get length 0 so
-    masked losses ignore them."""
-    b = next(iter(batch.values())).shape[0]
+    masked losses ignore them. batch_dim=1 for time-major batches; 1-D
+    arrays (`lengths`) always pad on their only axis."""
+    probe = next(v for v in batch.values() if np.ndim(v) > 1)
+    b = probe.shape[batch_dim]
     pad = (-b) % multiple
     if pad == 0:
         return batch
     out = {}
     for k, v in batch.items():
-        widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+        d = 0 if v.ndim <= 1 else batch_dim
+        widths = [(0, 0)] * v.ndim
+        widths[d] = (0, pad)
         out[k] = np.pad(v, widths)
     return out

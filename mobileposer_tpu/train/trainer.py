@@ -54,8 +54,8 @@ def loss_fn_for(module_name: str, body_model=None) -> Callable:
     if module_name == "joints":
         return M.joints_loss
     if module_name == "poser":
-        return lambda p, b, r, train=True: M.poser_loss(
-            p, b, r, body_model=body_model, train=train)
+        return lambda p, b, r, train=True, time_major=False: M.poser_loss(
+            p, b, r, body_model=body_model, train=train, time_major=time_major)
     if module_name == "footcontact":
         return M.footcontact_loss
     if module_name == "velocity":
@@ -69,14 +69,22 @@ def init_train_state(module_name: str, key: jax.Array, lr: float) -> TrainState:
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_train_step(module_name: str, lr: float, body_model=None):
-    """Jitted, buffer-donated (state, batch, rng) -> (state, loss)."""
+def make_train_step(module_name: str, lr: float, body_model=None,
+                    time_major: bool = False):
+    """Jitted, buffer-donated (state, batch, rng) -> (state, loss).
+
+    time_major=True expects batch arrays laid out [T, B, ...] (lengths
+    stays [B]): the LSTM core is time-major internally, so feeding
+    time-major batches (a free host-side transpose in the input pipeline)
+    skips the per-step [B,T]<->[T,B] transpose round-trip on device.
+    """
     opt = make_optimizer(module_name, lr)
     loss_fn = loss_fn_for(module_name, body_model)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         def compute(params):
-            return loss_fn(params, batch, rng, train=True)
+            return loss_fn(params, batch, rng, train=True,
+                           time_major=time_major)
 
         loss, grads = jax.value_and_grad(compute)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
@@ -96,10 +104,11 @@ def make_train_step(module_name: str, lr: float, body_model=None):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(module_name: str, body_model=None):
+def make_eval_step(module_name: str, body_model=None,
+                   time_major: bool = False):
     loss_fn = loss_fn_for(module_name, body_model)
     return jax.jit(lambda params, batch, rng: loss_fn(
-        params, batch, rng, train=False))
+        params, batch, rng, train=False, time_major=time_major))
 
 
 # ---------------------------------------------------------------------------

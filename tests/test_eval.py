@@ -151,3 +151,36 @@ def test_forward_offline_batched_matches_sequential(body):
                                    np.asarray(tran_ref), atol=3e-5)
         np.testing.assert_allclose(np.asarray(contact_b[i, :L]),
                                    np.asarray(contact_ref), atol=3e-5)
+
+
+def test_evaluate_pose_batched_matches_serial(body):
+    """The batched ONLINE+offline evaluation (sequences grouped and run as
+    independent streams) must reproduce the per-sequence path's metrics."""
+    from mobileposer_tpu.data import EvalSequence, PoseDataset
+    from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        f = os.path.join(d, "eval.pt")
+        # two sequences of different lengths -> exercises length grouping,
+        # stream padding, and the power-of-two batch bucket
+        make_synthetic_processed_dataset(f, n_sequences=3, T=40, seed=2,
+                                         body_model=body)
+        ds = PoseDataset(fold="test", evaluate="dip", body_model=body,
+                         data_files=[f])
+        view = EvalSequence(ds, combo="lw_rp")
+        net = MobilePoserNet(body)
+        params = init_all_modules(jax.random.PRNGKey(0))
+        res_b = evaluate_pose(net, params, view, online=True,
+                              evaluate_tran=True, verbose=False,
+                              batch_sequences=True)
+        res_s = evaluate_pose(net, params, view, online=True,
+                              evaluate_tran=True, verbose=False,
+                              batch_sequences=False)
+        np.testing.assert_allclose(res_b["offline"], res_s["offline"],
+                                   atol=1e-4)
+        np.testing.assert_allclose(res_b["online"], res_s["online"],
+                                   atol=1e-4)
+        for w in res_s.get("tran_errors", {}):
+            np.testing.assert_allclose(res_b["tran_errors"][w],
+                                       res_s["tran_errors"][w], atol=1e-4)

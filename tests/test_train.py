@@ -194,3 +194,54 @@ def test_training_is_deterministic(dataset):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_time_major_losses_match_batch_major(dataset, body, monkeypatch):
+    """time_major=True on [T, B, ...] batches must compute the same loss as
+    batch-major (noise zeroed: the rng draws differ by layout)."""
+    from mobileposer_tpu.models import modules as M
+    from mobileposer_tpu.train.trainer import loss_fn_for
+    monkeypatch.setattr(M, "NOISE_STD",
+                        {k: 0.0 for k in M.NOISE_STD})
+    bm = dataset._assemble(np.arange(4), C.datasets.window_length)
+    tm = {k: (v if np.ndim(v) == 1 else np.swapaxes(v, 0, 1))
+          for k, v in bm.items()}
+    # exercise the masked paths too
+    bm["lengths"] = tm["lengths"] = np.array([125, 100, 80, 125], np.int32)
+    rng = jax.random.PRNGKey(3)
+    for name in ("joints", "poser", "footcontact", "velocity"):
+        params = init_train_state(name, jax.random.PRNGKey(0), 1e-3).params
+        loss_fn = loss_fn_for(name, body if name == "poser" else None)
+        l_bm = float(loss_fn(params, bm, rng, train=False))
+        l_tm = float(loss_fn(params, tm, rng, train=False, time_major=True))
+        np.testing.assert_allclose(l_tm, l_bm, rtol=2e-5, err_msg=name)
+
+
+def test_time_major_train_step_learns(dataset):
+    state = init_train_state("joints", jax.random.PRNGKey(0), lr=1e-3)
+    step = make_train_step("joints", lr=1e-3, time_major=True)
+    bm = dataset._assemble(np.arange(4), C.datasets.window_length)
+    tm = {k: (v if np.ndim(v) == 1 else
+              np.ascontiguousarray(np.swapaxes(v, 0, 1)))
+          for k, v in bm.items()}
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, tm, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_pad_and_shard_time_major():
+    mesh = make_mesh(8)
+    batch = {"imu": np.zeros((125, 6, 60), np.float32),
+             "lengths": np.full((6,), 125, np.int32)}
+    padded = pad_batch_to_multiple(batch, 8, batch_dim=1)
+    assert padded["imu"].shape == (125, 8, 60)
+    assert padded["lengths"].shape == (8,)
+    sharded = shard_batch(padded, mesh, batch_dim=1)
+    assert sharded["imu"].sharding.spec == jax.sharding.PartitionSpec(
+        None, "data")
+    assert sharded["lengths"].sharding.spec == jax.sharding.PartitionSpec(
+        "data")
