@@ -205,7 +205,17 @@ class PoseDataset:
     def _build_monolith(self, W: int) -> None:
         """Stack all windows into zero-padded arrays once, so batch assembly
         is pure fancy indexing (a per-sample Python loop cost ~seconds per
-        256-batch on a 1-core host — it dominated small-model epochs)."""
+        256-batch on a 1-core host — it dominated small-model epochs).
+
+        Once built, each per-window dict is replaced by VIEWS into the
+        monolith rows: the window slices were views of the big per-sequence
+        arrays loaded in __init__, which therefore stayed alive alongside
+        the monolith — a steady-state 2x of host RAM on this small-RAM
+        host. Replacing them releases the per-sequence parents. (Training
+        never reads `pose_local`, so it is dropped outside evaluate mode;
+        the swap is skipped if W would truncate any window, so a later
+        rebuild with a larger W keeps its data.)
+        """
         n = len(self.windows)
         self._mono = {
             "acc": np.zeros((n, W, 5, 3), np.float32),
@@ -223,6 +233,13 @@ class PoseDataset:
             for k in self._mono:
                 self._mono[k][i, :L] = w[k][:L]
         self._mono_W = W
+        if all(w["acc"].shape[0] <= W for w in self.windows):
+            for i, w in enumerate(self.windows):
+                L = int(self._mono_lengths[i])
+                slim = {k: self._mono[k][i, :L] for k in self._mono}
+                if self.evaluate:
+                    slim["pose_local"] = w["pose_local"]
+                self.windows[i] = slim
 
     def _assemble(self, idxs, W: int) -> Dict[str, np.ndarray]:
         if getattr(self, "_mono_W", None) != W:

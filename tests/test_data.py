@@ -164,3 +164,22 @@ def test_batch_prefetcher():
     assert next(pf) == {"i": 0}
     with pytest.raises(ValueError, match="worker boom"):
         next(pf)
+
+
+def test_monolith_releases_window_copies(body, tmp_path):
+    """After batch assembly builds the monolith, the per-window dicts must
+    be views into it (the per-sequence parent arrays are released — they
+    previously stayed alive alongside the monolith, doubling host RAM)."""
+    f = tmp_path / "mono.pt"
+    make_synthetic_processed_dataset(f, n_sequences=2, T=260, seed=4,
+                                     body_model=body)
+    ds = PoseDataset(fold="train", body_model=body, data_files=[f],
+                     combos=["lw_rp"])
+    ds._assemble(np.arange(2), C.datasets.window_length)
+    for w in ds.windows:
+        assert "pose_local" not in w          # training never reads it
+        for k in ("acc", "ori", "joints"):
+            assert np.shares_memory(w[k], ds._mono[k])
+    # batch assembly still works and masks correctly after the swap
+    batch = ds._assemble(np.arange(2), C.datasets.window_length)
+    assert batch["imu"].shape[2] == 60
