@@ -31,6 +31,11 @@ def main(argv=None) -> None:
     parser.add_argument("--resume", action="store_true",
                         help="resume each module from its train_state.npz "
                              "in --checkpoint-dir (params + optimizer + epoch)")
+    parser.add_argument("--metrics", default=None,
+                        help="extra metric sinks, comma-separated: "
+                             "jsonl:<path>, csv:<path>, tensorboard:<dir>, "
+                             "wandb:<project> (JSONL in the checkpoint dir "
+                             "is always written)")
     args = parser.parse_args(argv)
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
@@ -65,6 +70,7 @@ def main(argv=None) -> None:
             init_params=init_params[name] if init_params else None,
             body_model=body if name == "poser" else None,
             log_file=str(ckpt_path / "metrics.jsonl"),
+            metrics=args.metrics,
             resume_from=resume_from)
 
     if args.combine:

@@ -58,6 +58,12 @@ def _install_chumpy_shim() -> None:
             return None
 
     def _getattr(name):
+        # Tools that introspect sys.modules (inspect, importlib, torch's
+        # import machinery) probe __file__/__spec__/__path__ on every
+        # module; answering those with a class crashes them. Only
+        # pickle-restored chumpy class names get the shim.
+        if name.startswith("__") and name.endswith("__"):
+            raise AttributeError(name)
         return _ChumpyShim
 
     mod.__getattr__ = _getattr

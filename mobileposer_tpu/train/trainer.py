@@ -217,12 +217,18 @@ class TrainingManager:
                      body_model=None, seed: Optional[int] = None,
                      val_fraction: float = 0.1,
                      log_file: Optional[str] = None,
+                     metrics: Optional[str] = None,
                      resume_from=None) -> Dict:
         """Train one module over `dataset` (a PoseDataset). Returns dict with
         final params and loss history. 90/10 train/val split mirrors the
         reference (data.py:151-153). `resume_from` restarts from a full
         training-state checkpoint (params + optimizer + epoch); a
-        `train_state.npz` is refreshed every epoch for crash recovery."""
+        `train_state.npz` is refreshed every epoch for crash recovery.
+
+        `metrics` is a sink spec ('jsonl:p,csv:p,tensorboard:dir,wandb:proj',
+        utils/metrics.py — the reference's wandb logging, train.py:40-46,
+        generalized for a zero-egress host); `log_file` is kept as shorthand
+        for a JSONL sink."""
         h = self.hypers
         seed = h.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
@@ -255,7 +261,10 @@ class TrainingManager:
         epochs = 1 if self.fast_dev_run else h.num_epochs
         history = {"train_loss": [], "val_loss": []}
         ckpt = Checkpointer(Path(checkpoint_path) / module_name)
-        log_f = open(log_file, "a") if log_file else None
+        from mobileposer_tpu.utils.metrics import JSONLSink, MultiSink, make_sinks
+        sink = make_sinks(metrics)
+        if log_file:
+            sink = MultiSink(sink.sinks + [JSONLSink(log_file)])
 
         def batches_from(idxs, shuffle_rng):
             order = shuffle_rng.permutation(len(idxs)) if shuffle_rng else np.arange(len(idxs))
@@ -307,9 +316,7 @@ class TrainingManager:
                    "train_loss": train_loss, "val_loss": val_loss,
                    "seconds": round(time.time() - t0, 3)}
             print(json.dumps(rec))
-            if log_f:
-                log_f.write(json.dumps(rec) + "\n")
-                log_f.flush()
+            sink.log(rec)
             return step_i
 
         step_i = 0
@@ -317,8 +324,7 @@ class TrainingManager:
             for epoch in range(start_epoch, epochs):
                 step_i = run_epoch(epoch, step_i)
         finally:
-            if log_f:
-                log_f.close()
+            sink.close()
         return {"params": jax.tree_util.tree_map(np.asarray, state.params),
                 "history": history, "checkpointer": ckpt}
 

@@ -177,3 +177,48 @@ def test_evaluate_over_dataset_empty_raises():
     from mobileposer_tpu.utils.testing import evaluate_over_dataset
     with pytest.raises(ValueError, match="no batches"):
         evaluate_over_dataset(lambda b: b, [lambda p, b: 0.0], [])
+
+
+def test_metrics_sinks(tmp_path):
+    """JSONL/CSV/TensorBoard sinks all receive records; spec parsing and
+    unknown-kind rejection (the reference's wandb logging, train.py:40-46,
+    generalized for a zero-egress host)."""
+    import json
+    from mobileposer_tpu.utils.metrics import make_sinks
+    spec = (f"jsonl:{tmp_path}/m.jsonl,csv:{tmp_path}/m.csv,"
+            f"tensorboard:{tmp_path}/tb")
+    sink = make_sinks(spec)
+    for epoch in range(2):
+        sink.log({"module": "joints", "epoch": epoch,
+                  "train_loss": 1.0 - epoch * 0.1, "val_loss": 0.9})
+    sink.close()
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert len(lines) == 2 and lines[1]["epoch"] == 1
+    rows = open(tmp_path / "m.csv").read().strip().splitlines()
+    assert rows[0].startswith("module,epoch") and len(rows) == 3
+    assert any((tmp_path / "tb").glob("events.out.tfevents.*"))
+
+    import pytest
+    with pytest.raises(ValueError):
+        make_sinks("bogus:x")
+    assert make_sinks(None).sinks == []
+
+
+def test_training_manager_metrics_spec(tmp_path):
+    """TrainingManager threads the metrics spec through to sinks."""
+    import numpy as np
+    from mobileposer_tpu.data import PoseDataset
+    from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.train import TrainingManager
+    body = ParametricModel.synthetic(num_vertices=48)
+    f = tmp_path / "d.pt"
+    make_synthetic_processed_dataset(f, n_sequences=2, T=150, seed=0,
+                                     body_model=body)
+    ds = PoseDataset(fold="train", body_model=body, data_files=[f],
+                     combos=["lw_rp"])
+    mgr = TrainingManager(fast_dev_run=True)
+    mgr.train_module("footcontact", ds, tmp_path / "ckpt",
+                     metrics=f"csv:{tmp_path}/train.csv")
+    rows = open(tmp_path / "train.csv").read().strip().splitlines()
+    assert len(rows) >= 2
