@@ -115,3 +115,61 @@ def test_cli_combiner_roundtrip(workspace, body):
     seqs = load_processed_file(out)
     assert len(seqs) == 1
     assert seqs[0]["acc"].shape == (T, 5, 3)
+
+
+def test_parity_cli_dry_run(workspace, datasets, body, monkeypatch, capsys):
+    """Parity-day harness exercised end-to-end on the synthetic fixture:
+    weights load, evaluation runs, 'ours' metrics print (no reference
+    metrics -> informational exit 0), and the comparison path refuses to
+    gate against reference numbers on a non-official body."""
+    import json
+    import jax
+    import mobileposer_tpu.kinematics.smpl as smpl_mod
+    monkeypatch.setattr(
+        smpl_mod.ParametricModel, "from_file_or_synthetic",
+        classmethod(lambda cls, *a, **k: body))
+    from mobileposer_tpu.cli import parity
+    from mobileposer_tpu.models import init_all_modules
+    from mobileposer_tpu.nn.torch_convert import export_to_npz
+    ckpt = workspace / "synth_weights.npz"
+    export_to_npz(init_all_modules(jax.random.PRNGKey(0)), ckpt)
+
+    parity.main(["--torch-checkpoint", str(ckpt)])
+    out = capsys.readouterr().out
+    ours = json.loads([l for l in out.splitlines() if '"ours"' in l][0])
+    assert np.isfinite(ours["ours"]["sip_deg"])
+    assert np.isfinite(ours["ours"]["pos_cm"])
+
+    ref = workspace / "ref_metrics.json"
+    ref.write_text(json.dumps(ours["ours"]))
+    with pytest.raises(SystemExit):   # refuses: synthetic body, not official
+        parity.main(["--torch-checkpoint", str(ckpt),
+                     "--reference-metrics", str(ref)])
+
+
+def test_make_ref_metrics_parser():
+    """The stdout-format contract of the reference's evaluate.py printout."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "make_ref_metrics",
+        Path(__file__).parent.parent / "scripts" / "make_ref_metrics.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    stdout = """Starting evaluation: Dip
+============== offline ================
+SIP Error (deg): 19.46 (+/- 12.34)
+Angular Error (deg): 24.27 (+/- 11.80)
+Masked Angular Error (deg): 19.46 (+/- 12.34)
+Positional Error (cm): 6.64 (+/- 3.51)
+Masked Positional Error (cm): 8.51 (+/- 4.54)
+Mesh Error (cm): 8.03 (+/- 4.17)
+Jitter Error (100m/s^3): 6.97 (+/- 4.67)
+Distance Error (cm): 0.00 (+/- 0.00)
+============== online ================
+SIP Error (deg): 21.00 (+/- 13.00)
+Positional Error (cm): 7.00 (+/- 4.00)
+"""
+    sections = m.parse_report(stdout)
+    assert sections["offline"]["sip_deg"] == [19.46, 12.34]
+    assert sections["offline"]["pos_cm"] == [6.64, 3.51]
+    assert sections["online"]["sip_deg"] == [21.0, 13.0]
