@@ -222,3 +222,35 @@ def test_training_manager_metrics_spec(tmp_path):
                      metrics=f"csv:{tmp_path}/train.csv")
     rows = open(tmp_path / "train.csv").read().strip().splitlines()
     assert len(rows) >= 2
+
+
+def test_offline_renderer(tmp_path):
+    """render_motion turns an SMPLViewer bundle into PNG frames + GIF
+    (headless replacement for the reference's live dual-body view)."""
+    import jax
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.viz import SMPLViewer, render_motion
+    body = ParametricModel.synthetic(num_vertices=48)
+    n = 6
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), (n, 24, 3, 3))
+    tran = np.cumsum(np.full((n, 3), 0.01, np.float32), axis=0)
+    viewer = SMPLViewer(body, out_dir=tmp_path / "dump")
+    bundle = viewer.view(eye, tran, pose_t=eye, tran_t=tran, name="v")
+    out = render_motion(bundle, tmp_path / "render", body=body, stride=2,
+                        gif=True)
+    assert out.name == "motion.gif" and out.exists()
+    pngs = sorted((tmp_path / "render").glob("frame_*.png"))
+    assert len(pngs) == 3
+
+    from mobileposer_tpu.cli import render as render_cli
+    render_cli_out = tmp_path / "render_cli"
+    import mobileposer_tpu.kinematics.smpl as smpl_mod
+    orig = smpl_mod.ParametricModel.from_file_or_synthetic
+    smpl_mod.ParametricModel.from_file_or_synthetic = classmethod(
+        lambda cls, *a, **k: body)
+    try:
+        render_cli.main([str(bundle), "--out", str(render_cli_out),
+                         "--stride", "3"])
+    finally:
+        smpl_mod.ParametricModel.from_file_or_synthetic = orig
+    assert list(render_cli_out.glob("frame_*.png"))
