@@ -54,6 +54,35 @@ def streaming_flops_per_emitted_frame(window: int = NUM_TOTAL) -> float:
     return window * forward_flops_per_frame()
 
 
+def _lstm_step_flops(n_in: int, H: int) -> float:
+    return 2.0 * (n_in * 4 * H + H * 4 * H)
+
+
+def carry_flops_per_emitted_frame() -> float:
+    """Carry-mode streaming (models/streaming.py): per emitted frame, each
+    bidirectional block runs 1 committed + (L-1) provisional forward steps
+    and one L-step backward tail per layer; velocity runs one step per
+    layer. L = lookahead tail (5)."""
+    from mobileposer_tpu.models.net import NUM_PAST, NUM_TOTAL
+    L = NUM_TOTAL - NUM_PAST
+    total = 0.0
+    for name in ("joints", "poser", "footcontact"):
+        cfg = MODULE_CONFIGS[name]
+        H = cfg.n_hidden
+        joints_like = name == "joints"               # rings hold history
+        total += (1 if joints_like else L) * 2.0 * cfg.n_input * H  # lin1
+        total += (1 if joints_like else L) * _lstm_step_flops(H, H)  # L1 fwd
+        total += L * _lstm_step_flops(H, H)          # L1 bwd tail
+        total += (L if joints_like else 1) * _lstm_step_flops(2 * H, H)  # L2 fwd
+        total += L * _lstm_step_flops(2 * H, H)      # L2 bwd tail
+        total += (L if joints_like else 1) * 2.0 * 2 * H * cfg.n_output  # lin2
+    cfg = MODULE_CONFIGS["velocity"]
+    H = cfg.n_hidden
+    total += 2.0 * cfg.n_input * H + _lstm_step_flops(H, H) * 2
+    total += 2.0 * H * cfg.n_output
+    return total
+
+
 def training_flops_per_frame(module: str) -> float:
     """Fwd + bwd for one window frame of one sequence (bwd ~= 2x fwd)."""
     return 3.0 * rnn_block_flops_per_frame(MODULE_CONFIGS[module])

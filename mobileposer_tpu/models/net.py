@@ -331,6 +331,36 @@ class MobilePoserNet:
             current_root_y=np.zeros((S,), np_dtype),
             last_root_pos=np.zeros((S, 3), np_dtype))
 
+    def _fusion_step(self, joints, contact, vel_emit, last_lfoot, last_rfoot,
+                     current_root_y, last_root_pos):
+        """One frame of the streaming translation fusion for S streams
+        (reference net.py:186-208) — the single implementation shared by
+        the scan path and the unfolded path.
+
+        joints [S,24,3], contact [S,2] logits, vel_emit [S,72].
+        Returns (velocity [S,3], v_y [S], lfoot [S,3], rfoot [S,3]).
+        """
+        lfoot, rfoot = joints[:, 10], joints[:, 11]
+        contact_vel = jnp.where((contact[:, 0] > contact[:, 1])[:, None],
+                                last_lfoot - lfoot,
+                                last_rfoot - rfoot) + GRAVITY_VELOCITY
+        root_vel = vel_emit.reshape(-1, 24, 3)[:, 0] / VEL_SCALE_PER_FRAME
+        cmax = contact.max(axis=1)
+        weight = prob_to_weight(
+            jax.nn.sigmoid(cmax) if self.online_sigmoid else cmax)[:, None]
+        velocity = R.lerp(root_vel, contact_vel, weight)
+
+        current_foot_y = current_root_y + jnp.minimum(lfoot[:, 1],
+                                                      rfoot[:, 1])
+        v_y = jnp.where(current_foot_y + velocity[:, 1] <= self.floor_y,
+                        self.floor_y - current_foot_y, velocity[:, 1])
+        velocity = jnp.concatenate(
+            [velocity[:, :1], v_y[:, None], velocity[:, 2:]], axis=1)
+        # keep the carried state's dtype (f64/np constants promote bf16)
+        velocity = velocity.astype(last_root_pos.dtype)
+        v_y = v_y.astype(current_root_y.dtype)
+        return velocity, v_y, lfoot, rfoot
+
     def forward_online_batched(self, params: dict,
                                state: "MobilePoserNet.OnlineState",
                                frames: jnp.ndarray):
@@ -351,25 +381,9 @@ class MobilePoserNet:
         joints = joints_seq[:, NUM_PAST].reshape(S, 24, 3)
         contact = contact_seq[:, NUM_PAST]
 
-        lfoot, rfoot = joints[:, 10], joints[:, 11]
-        contact_vel = jnp.where((contact[:, 0] > contact[:, 1])[:, None],
-                                state.last_lfoot - lfoot,
-                                state.last_rfoot - rfoot) + GRAVITY_VELOCITY
-        root_vel = vel[:, NUM_PAST].reshape(S, 24, 3)[:, 0] / VEL_SCALE_PER_FRAME
-        cmax = contact.max(axis=1)
-        weight = prob_to_weight(
-            jax.nn.sigmoid(cmax) if self.online_sigmoid else cmax)[:, None]
-        velocity = R.lerp(root_vel, contact_vel, weight)
-
-        current_foot_y = state.current_root_y + jnp.minimum(lfoot[:, 1],
-                                                            rfoot[:, 1])
-        v_y = jnp.where(current_foot_y + velocity[:, 1] <= self.floor_y,
-                        self.floor_y - current_foot_y, velocity[:, 1])
-        velocity = jnp.concatenate(
-            [velocity[:, :1], v_y[:, None], velocity[:, 2:]], axis=1)
-        # keep the carried state's dtype (f64/np constants promote bf16)
-        velocity = velocity.astype(state.last_root_pos.dtype)
-        v_y = v_y.astype(state.current_root_y.dtype)
+        velocity, v_y, lfoot, rfoot = self._fusion_step(
+            joints, contact, vel[:, NUM_PAST], state.last_lfoot,
+            state.last_rfoot, state.current_root_y, state.last_root_pos)
 
         new_state = MobilePoserNet.OnlineState(
             imu=window,
@@ -380,16 +394,179 @@ class MobilePoserNet:
             last_root_pos=state.last_root_pos + velocity)
         return (pose_t, joints, new_state.last_root_pos, contact), new_state
 
+    #: below this many streams the unfolded mode wins (measured on v5e-1,
+    #: N=100: S=1 6.6x, S=8 3.6x, S=32 break-even, S>=64 scan wins — the
+    #: scan path is compute-bound past ~32 streams at ~57% of bf16 peak,
+    #: so extra window-parallelism can't help there)
+    UNFOLD_MAX_STREAMS = 32
+
     def forward_online_sequence_batched(self, params: dict,
                                         state: "MobilePoserNet.OnlineState",
-                                        frames: jnp.ndarray):
-        """S streams x N frames in one dispatch. frames: [N, S, 60]."""
-        def step(st, frame):
-            outputs, st = self.forward_online_batched(params, st, frame)
-            return st, outputs
+                                        frames: jnp.ndarray,
+                                        mode: str = "auto",
+                                        chunk: int = 25,
+                                        backend: str = "auto"):
+        """S streams x N frames in one dispatch. frames: [N, S, 60].
 
-        state, (pose, joints, root, contact) = jax.lax.scan(step, state, frames)
-        return (pose, joints, root, contact), state
+        Both modes compute IDENTICAL outputs (pinned at 2e-5 by
+        tests/test_net.py); 'auto' picks by stream count:
+
+        mode='scan' replays the per-frame step N times — the reference's
+        own control flow (net.py:174-178). Wins for large stream batches,
+        where it is compute-bound (~57% of bf16 peak at S=256).
+
+        mode='unfolded' materializes all N sliding windows and runs the
+        three bidirectional modules over them as one big batch: their
+        window passes are independent across frames (fresh h0 per
+        window), so the only genuinely sequential parts are the velocity
+        module's cross-window carry and the tiny fusion scan. Wins when
+        the scan path is latency-bound — few streams (6.6x at S=1).
+
+        `chunk` bounds unfolded-mode activation memory: windows are
+        processed in blocks of `chunk` frames inside a lax.scan
+        ([chunk*S, 45, ...] activations live at once). N is padded up to
+        a multiple; padded frames are computed then discarded, with all
+        carried state frozen by a validity mask so the final state equals
+        frame N's exactly.
+
+        For throughput beyond what exact semantics allow, see the opt-in
+        carry mode (`forward_carry_sequence_batched`, ~4.5x at S=256).
+        """
+        if mode == "auto":
+            mode = ("unfolded" if frames.shape[1] < self.UNFOLD_MAX_STREAMS
+                    else "scan")
+        if mode == "scan":
+            def step(st, frame):
+                outputs, st = self.forward_online_batched(params, st, frame)
+                return st, outputs
+
+            state, (pose, joints, root, contact) = jax.lax.scan(
+                step, state, frames)
+            return (pose, joints, root, contact), state
+        if mode != "unfolded":
+            raise ValueError(f"unknown streaming mode {mode!r}")
+        return self._forward_online_sequence_unfolded(
+            params, state, frames, chunk, backend)
+
+    def _forward_online_sequence_unfolded(self, params: dict,
+                                          state: "MobilePoserNet.OnlineState",
+                                          frames: jnp.ndarray, chunk: int,
+                                          backend: str = "auto"):
+        S = frames.shape[1]
+        N = frames.shape[0]
+        D = frames.shape[2]
+        W, E = NUM_TOTAL, NUM_PAST
+        K = min(chunk, N)
+        C = -(-N // K)
+        n_pad = C * K
+        if n_pad > N:
+            frames = jnp.concatenate(
+                [frames, jnp.broadcast_to(frames[-1], (n_pad - N, S, D))])
+        valid = (np.arange(n_pad) < N)
+
+        # stream-major frame history: 44 frames of context before frame 0
+        # (the previous window's tail, or frame 0 repeated for a fresh
+        # stream — reference net.py:175), then the N frames.
+        frames_sm = jnp.swapaxes(frames, 0, 1)              # [S, n_pad, D]
+        prefix = jnp.where(state.initialized[:, None, None],
+                           state.imu[:, 1:],
+                           jnp.broadcast_to(frames_sm[:, :1], (S, W - 1, D)))
+        full = jnp.concatenate([prefix, frames_sm], axis=1)  # [S, 44+n_pad, D]
+
+        def chunk_step(carry, xs):
+            (vel_h, vel_c, lf, rf, root_y, root_pos) = carry
+            c_idx, ok = xs                                   # [], [K]
+            seg = jax.lax.dynamic_slice(
+                full, (0, c_idx * K, 0), (S, K + W - 1, D))  # [S, K+44, D]
+            windows = jnp.stack([seg[:, k:k + W] for k in range(K)])
+            # time-major over the window axis, frames*streams as batch
+            x_tm = jnp.transpose(windows, (2, 0, 1, 3)).reshape(W, K * S, D)
+            joints_tm, _ = module_apply("joints", params["joints"], x_tm,
+                                        backend=backend, time_major=True)
+            x132_tm = jnp.concatenate([joints_tm, x_tm], axis=-1)
+            r6d_tm, _ = module_apply("poser", params["poser"], x132_tm,
+                                     backend=backend, time_major=True)
+            contact_tm, _ = module_apply("footcontact", params["footcontact"],
+                                         x132_tm, backend=backend,
+                                         time_major=True)
+            pose_e = reduced_global_to_full(
+                r6d_tm[E], self.body_model).reshape(K, S, 24, 3, 3)
+            joints_e = joints_tm[E].reshape(K, S, 24, 3)
+            contact_e = contact_tm[E].reshape(K, S, 2)
+
+            # velocity: the one module whose LSTM carry crosses windows
+            # (reference velocity.py:45-48) — sequential over the K windows
+            x132_w = x132_tm.reshape(W, K, S, 132)
+
+            def vstep(vc, xs_v):
+                h, c = vc
+                x_w, ok_w = xs_v                             # [W, S, 132]
+                y_tm, (h2, c2) = module_apply(
+                    "velocity", params["velocity"], x_w, h0c0=(h, c),
+                    backend="auto", time_major=True)
+                h = jnp.where(ok_w, h2, h)
+                c = jnp.where(ok_w, c2, c)
+                return (h, c), y_tm[E]
+
+            (vel_h, vel_c), vel_e = jax.lax.scan(
+                vstep, (vel_h, vel_c),
+                (jnp.swapaxes(x132_w, 0, 1), ok))            # vel_e [K, S, 72]
+
+            def fstep(fc, xs_f):
+                lf, rf, root_y, root_pos = fc
+                j_k, c_k, v_k, ok_k = xs_f
+                velocity, v_y, lfoot, rfoot = self._fusion_step(
+                    j_k, c_k, v_k, lf, rf, root_y, root_pos)
+                root_out = root_pos + velocity
+                fc = (jnp.where(ok_k, lfoot, lf), jnp.where(ok_k, rfoot, rf),
+                      root_y + jnp.where(ok_k, v_y, 0),
+                      root_pos + jnp.where(ok_k, velocity, 0))
+                return fc, root_out
+
+            (lf, rf, root_y, root_pos), root_e = jax.lax.scan(
+                fstep, (lf, rf, root_y, root_pos),
+                (joints_e, contact_e, vel_e, ok))
+
+            carry = (vel_h, vel_c, lf, rf, root_y, root_pos)
+            return carry, (pose_e, joints_e, root_e, contact_e)
+
+        carry0 = (state.vel_h, state.vel_c, state.last_lfoot,
+                  state.last_rfoot, state.current_root_y, state.last_root_pos)
+        xs = (jnp.arange(C, dtype=jnp.int32), jnp.asarray(valid).reshape(C, K))
+        (vel_h, vel_c, lf, rf, root_y, root_pos), outs = jax.lax.scan(
+            chunk_step, carry0, xs)
+        pose, joints, root, contact = (
+            o.reshape((n_pad,) + o.shape[2:])[:N] for o in outs)
+
+        new_state = MobilePoserNet.OnlineState(
+            imu=jax.lax.dynamic_slice(full, (0, N - 1, 0), (S, W, D)),
+            initialized=jnp.ones((S,), bool),
+            vel_h=vel_h, vel_c=vel_c,
+            last_lfoot=lf, last_rfoot=rf,
+            current_root_y=root_y, last_root_pos=root_pos)
+        return (pose, joints, root, contact), new_state
+
+    # -- carry-mode streaming (opt-in approximation; models/streaming.py) --
+    def init_carry_state_batched(self, n_streams: int, dtype=jnp.float32):
+        """Fresh state for carry-mode streaming: forward LSTM states carried
+        across frames (never window-reset), backward directions recomputed
+        over the 5-frame lookahead tail only. ~15x fewer FLOPs per frame
+        than the exact windowed semantics; numerically different outputs —
+        see models/streaming.py for the full contract."""
+        from mobileposer_tpu.models.streaming import init_carry_state_batched
+        return init_carry_state_batched(self, n_streams, dtype)
+
+    def forward_carry_batched(self, params: dict, state, frames: jnp.ndarray):
+        """One carry-mode step for S streams. frames [S, 60]."""
+        from mobileposer_tpu.models.streaming import forward_carry_batched
+        return forward_carry_batched(self, params, state, frames)
+
+    def forward_carry_sequence_batched(self, params: dict, state,
+                                       frames: jnp.ndarray):
+        """Carry-mode streaming over [N, S, 60] frames in one dispatch."""
+        from mobileposer_tpu.models.streaming import (
+            forward_carry_sequence_batched)
+        return forward_carry_sequence_batched(self, params, state, frames)
 
     def forward_online_sequence(self, params: dict,
                                 state: "MobilePoserNet.OnlineState",

@@ -264,3 +264,38 @@ def test_forward_offline_padded_prefix_invariance(params, net):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(contact_p[:T]),
                                np.asarray(contact_ref), atol=2e-5)
+
+
+def test_unfolded_sequence_matches_scan(params, net):
+    """mode='unfolded' (windows batched, velocity carry sequential) must
+    reproduce mode='scan' (per-frame replay) outputs AND final state,
+    including a chunk-padding tail (N not divisible by chunk) and a
+    pre-initialized stream."""
+    S, N = 3, 7
+    frames = jax.random.normal(jax.random.PRNGKey(21), (N, S, 60)) * 0.1
+    run_scan = jax.jit(lambda p, st, f: net.forward_online_sequence_batched(
+        p, st, f, mode="scan"))
+    run_unf = jax.jit(lambda p, st, f: net.forward_online_sequence_batched(
+        p, st, f, mode="unfolded", chunk=3))    # 7 = 2*3 + 1 -> padded tail
+
+    st0 = net.init_online_state_batched(S)
+    (pose_s, joints_s, root_s, contact_s), fin_s = run_scan(params, st0, frames)
+    st0 = net.init_online_state_batched(S)
+    (pose_u, joints_u, root_u, contact_u), fin_u = run_unf(params, st0, frames)
+
+    np.testing.assert_allclose(np.asarray(pose_u), np.asarray(pose_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(joints_u), np.asarray(joints_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(root_u), np.asarray(root_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(contact_u), np.asarray(contact_s), atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(fin_u),
+                    jax.tree_util.tree_leaves(fin_s)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=2e-5)
+
+    # continue both from their final states: carried velocity state, window
+    # and fusion anchors must all line up
+    frames2 = jax.random.normal(jax.random.PRNGKey(22), (4, S, 60)) * 0.1
+    (p2s, _, r2s, _), _ = run_scan(params, fin_s, frames2)
+    (p2u, _, r2u, _), _ = run_unf(params, fin_u, frames2)
+    np.testing.assert_allclose(np.asarray(r2u), np.asarray(r2s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p2u), np.asarray(p2s), atol=2e-5)
