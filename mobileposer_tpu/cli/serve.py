@@ -26,6 +26,11 @@ def main(argv=None) -> None:
     parser.add_argument("--bf16", action="store_true",
                         help="serve with bfloat16 weights (2x MXU, ~1e-3 "
                              "relative error)")
+    parser.add_argument("--carry", action="store_true",
+                        help="carry-mode streaming (models/streaming.py): "
+                             "~4.5x throughput, approximate window "
+                             "semantics — validate on real checkpoints "
+                             "first (docs/parity.md)")
     args = parser.parse_args(argv)
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
@@ -36,9 +41,11 @@ def main(argv=None) -> None:
         from mobileposer_tpu.nn import cast_params
         params = cast_params(params, jnp.bfloat16)
     server = PoseServer(net, params, host=args.host, port=args.port,
-                        max_streams=args.max_streams, tick_hz=args.tick_hz)
+                        max_streams=args.max_streams, tick_hz=args.tick_hz,
+                        mode="carry" if args.carry else "exact")
     print(f"Pose server on udp://{args.host}:{server.port} "
-          f"({args.max_streams} streams @ {args.tick_hz} Hz). Ctrl-C to stop.")
+          f"({args.max_streams} streams @ {args.tick_hz} Hz, "
+          f"{server.mode} mode). Ctrl-C to stop.")
     try:
         server.run(duration=args.duration)
     except KeyboardInterrupt:

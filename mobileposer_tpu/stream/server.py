@@ -45,12 +45,19 @@ class PoseServer:
     def __init__(self, net: MobilePoserNet, params: dict,
                  host: str = "0.0.0.0", port: int = 9000,
                  max_streams: int = 64, tick_hz: float = 30.0,
-                 idle_timeout: float = 30.0):
+                 idle_timeout: float = 30.0, mode: str = "exact"):
+        """mode='exact' serves the reference window semantics
+        (forward_online_batched); mode='carry' serves the opt-in
+        approximation (models/streaming.py) at ~4.5x the throughput —
+        validate accuracy on real checkpoints first (docs/parity.md)."""
         self.net = net
         self.params = params
         self.max_streams = max_streams
         self.tick_period = 1.0 / tick_hz
         self.idle_timeout = idle_timeout
+        if mode not in ("exact", "carry"):
+            raise ValueError(f"unknown serving mode {mode!r}")
+        self.mode = mode
 
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -69,26 +76,44 @@ class PoseServer:
 
         # numpy state: no eager device math in the constructor; the first
         # jitted step moves it to the device
-        self.states = net.init_online_state_batched(max_streams)
         feet = np.asarray(net.feet_pos, np.float32)
-        self._step = jax.jit(net.forward_online_batched)
+        lf = jnp.asarray(feet[0])
+        rf = jnp.asarray(feet[1])
         self._aa = jax.jit(lambda p: R.rotation_matrix_to_axis_angle(
             p.reshape(-1, 3, 3)).reshape(p.shape[0], 72))
         # device-resident per-slot reset: explicit per-field indexed updates
         # (tick() advances EVERY slot each step, so a claimed slot must be
         # cleared whether it was virgin or recycled; shape heuristics or
         # host round-trips here would corrupt carries / stall ticks)
-        lf = jnp.asarray(feet[0])
-        rf = jnp.asarray(feet[1])
-        self._reset_fn = jax.jit(lambda st, slot: st._replace(
-            imu=st.imu.at[slot].set(0.0),
-            initialized=st.initialized.at[slot].set(False),
-            vel_h=st.vel_h.at[:, slot].set(0.0),
-            vel_c=st.vel_c.at[:, slot].set(0.0),
-            last_lfoot=st.last_lfoot.at[slot].set(lf),
-            last_rfoot=st.last_rfoot.at[slot].set(rf),
-            current_root_y=st.current_root_y.at[slot].set(0.0),
-            last_root_pos=st.last_root_pos.at[slot].set(0.0)))
+        if mode == "carry":
+            self.states = net.init_carry_state_batched(max_streams)
+            self._step = jax.jit(net.forward_carry_batched)
+
+            # carry steps re-derive rings/LSTM carries from scratch while
+            # initialized=False, so resetting the flag + fusion anchors
+            # (the only un-gated fields) is sufficient; the rest is cleared
+            # anyway for hygiene via the gated warm-up.
+            def reset(st, slot):
+                return st._replace(
+                    initialized=st.initialized.at[slot].set(False),
+                    last_lfoot=st.last_lfoot.at[slot].set(lf),
+                    last_rfoot=st.last_rfoot.at[slot].set(rf),
+                    current_root_y=st.current_root_y.at[slot].set(0.0),
+                    last_root_pos=st.last_root_pos.at[slot].set(0.0))
+
+            self._reset_fn = jax.jit(reset)
+        else:
+            self.states = net.init_online_state_batched(max_streams)
+            self._step = jax.jit(net.forward_online_batched)
+            self._reset_fn = jax.jit(lambda st, slot: st._replace(
+                imu=st.imu.at[slot].set(0.0),
+                initialized=st.initialized.at[slot].set(False),
+                vel_h=st.vel_h.at[:, slot].set(0.0),
+                vel_c=st.vel_c.at[:, slot].set(0.0),
+                last_lfoot=st.last_lfoot.at[slot].set(lf),
+                last_rfoot=st.last_rfoot.at[slot].set(rf),
+                current_root_y=st.current_root_y.at[slot].set(0.0),
+                last_root_pos=st.last_root_pos.at[slot].set(0.0)))
 
         self._stop = threading.Event()
         self.frames_served = 0

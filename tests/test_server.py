@@ -138,3 +138,45 @@ def test_late_join_gets_fresh_state():
         server.stop()
         thread.join(timeout=5)
         server.close()
+
+
+def test_carry_mode_server_round_trip():
+    """Carry-mode serving (mode='carry'): round trips + slot recycling."""
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    srv = PoseServer(net, params, host="127.0.0.1", port=0, max_streams=4,
+                     tick_hz=120.0, mode="carry")
+    thread = threading.Thread(target=srv.run, daemon=True)
+    thread.start()
+    rng = np.random.RandomState(1)
+    client = PoseClient(stream_id=7, port=srv.port)
+    try:
+        got = 0
+        for _ in range(5):
+            client.send_frame(rng.randn(60).astype(np.float32) * 0.1)
+            out = client.recv_pose()
+            if out is not None:
+                pose_aa, tran, contact = out
+                assert np.all(np.isfinite(pose_aa))
+                assert np.all(np.isfinite(tran))
+                got += 1
+        assert got >= 3
+        # slot reset path: claim a fresh stream id, must also round-trip
+        c2 = PoseClient(stream_id=8, port=srv.port)
+        c2.send_frame(rng.randn(60).astype(np.float32) * 0.1)
+        assert c2.recv_pose() is not None
+        c2.close()
+    finally:
+        client.close()
+        srv.stop()
+        thread.join(timeout=5)
+        srv.close()
+
+
+def test_server_rejects_unknown_mode():
+    body = ParametricModel.synthetic(num_vertices=48)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        PoseServer(net, params, host="127.0.0.1", port=0, mode="bogus")
