@@ -254,3 +254,35 @@ def test_offline_renderer(tmp_path):
     finally:
         smpl_mod.ParametricModel.from_file_or_synthetic = orig
     assert list(render_cli_out.glob("frame_*.png"))
+
+
+def test_debug_params_round_trip_and_live_reload(tmp_path):
+    """Headless replacement for the reference's bullet debug sliders
+    (bullet.py:38-84): same json schema, slider-like clamping, live
+    reload on file change."""
+    import json, os, time
+    from mobileposer_tpu.physics import DebugParams
+    f = tmp_path / "dbg.json"
+    attrs = [{"name": "kp", "min": 0.0, "max": 10.0, "value": 2.5},
+             {"name": "kd", "min": 0.0, "max": 1.0, "value": 5.0}]  # >max
+    f.write_text(json.dumps(attrs))
+    p = DebugParams.from_json(f)
+    assert p["kp"] == 2.5
+    assert p["kd"] == 1.0                      # clamped like a slider
+    p["kp"] = -3.0
+    assert p["kp"] == 0.0                      # set() clamps too
+    out = tmp_path / "saved.json"
+    p.save(out)
+    assert DebugParams.from_json(out).values() == p.values()
+
+    # live reload: edit the backing file while "running"
+    attrs[0]["value"] = 7.0
+    f.write_text(json.dumps(attrs))
+    os.utime(f, (time.time() + 2, time.time() + 2))   # force mtime change
+    assert p.poll() is True
+    assert p["kp"] == 7.0
+    # malformed mid-edit content is skipped, old values kept
+    f.write_text("{broken")
+    os.utime(f, (time.time() + 4, time.time() + 4))
+    assert p.poll() is False
+    assert p["kp"] == 7.0
