@@ -173,3 +173,36 @@ def test_carry_converges_to_windowed_on_constant_input(net, params):
                                np.asarray(joints_w[-1]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(contact_c[-1]),
                                np.asarray(contact_w[-1]), atol=1e-2)
+
+
+def test_carry_streaming_sharded_over_mesh(net, params):
+    """Carry-mode streams shard over the data mesh like a serving fleet
+    would: stream-axis sharded state + frames, replicated params, same
+    outputs as unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mobileposer_tpu.parallel import make_mesh, replicate_params
+    mesh = make_mesh()
+    S, N = 8, 3
+    frames = jax.random.normal(jax.random.PRNGKey(30), (N, S, 60)) * 0.1
+    run = jax.jit(net.forward_carry_sequence_batched)
+
+    st0 = jax.tree_util.tree_map(jnp.asarray, net.init_carry_state_batched(S))
+    (pose_ref, _, root_ref, _), _ = run(params, st0, frames)
+
+    def shard_leaf(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == S:          # stream axis leading
+            return jax.device_put(x, NamedSharding(mesh, P("data")))
+        if x.ndim >= 2 and x.shape[1] == S:          # rings / stacked carries
+            return jax.device_put(x, NamedSharding(mesh, P(None, "data")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    st_sh = jax.tree_util.tree_map(shard_leaf, net.init_carry_state_batched(S))
+    frames_sh = jax.device_put(np.asarray(frames),
+                               NamedSharding(mesh, P(None, "data")))
+    (pose_sh, _, root_sh, _), _ = run(replicate_params(params, mesh),
+                                      st_sh, frames_sh)
+    np.testing.assert_allclose(np.asarray(root_sh), np.asarray(root_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pose_sh), np.asarray(pose_ref),
+                               atol=2e-5)
