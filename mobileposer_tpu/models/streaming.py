@@ -51,17 +51,9 @@ import numpy as np
 from mobileposer_tpu import config as C
 from mobileposer_tpu.models.modules import MODULE_CONFIGS
 from mobileposer_tpu.models.net import NUM_PAST, NUM_TOTAL
+from mobileposer_tpu.nn.lstm import lstm_cell_step as lstm_step
 
 LOOKAHEAD = NUM_TOTAL - NUM_PAST          # 5 tail positions (emit + 4 future)
-
-
-def lstm_step(p: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
-    """One LSTM cell step, identical gate math/order to nn/lstm.py."""
-    gates = x @ p["w_ih"] + (p["b_ih"] + p["b_hh"]) + h @ p["w_hh"]
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
-    return h2, c2
 
 
 def _bwd_tail(p: dict, x_tail: jnp.ndarray) -> jnp.ndarray:

@@ -93,6 +93,26 @@ def init_rnn(key, cfg: LSTMConfig, dtype=jnp.float32) -> dict:
 # Core scan
 # ---------------------------------------------------------------------------
 
+def _gate_update(gates: jnp.ndarray, c: jnp.ndarray):
+    """Apply the LSTM gate nonlinearity to precomputed gates [.., 4H].
+
+    THE single implementation of the cell math (gate order i, f, g, o — a
+    parity invariant, see CLAUDE.md): both the scan core below and the
+    carry-mode single steps (models/streaming.py) go through it."""
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    c_new = f * c + i * jnp.tanh(g)
+    return o * jnp.tanh(c_new), c_new
+
+
+def lstm_cell_step(p: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+    """One LSTM step from a raw input: projects x, adds both biases, and
+    applies the shared gate update. p is one direction of one layer
+    (init_lstm_layer layout)."""
+    gates = x @ p["w_ih"] + (p["b_ih"] + p["b_hh"]) + h @ p["w_hh"]
+    return _gate_update(gates, c)
+
+
 def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
                h0: jnp.ndarray, c0: jnp.ndarray,
                mask: Optional[jnp.ndarray]):
@@ -107,20 +127,13 @@ def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
     Masked steps hold the carry (so (h_T, c_T) equals the state at each
     sequence's last valid frame) and emit zeros.
     """
-    H = w_hh.shape[0]
-
     def step(carry, inp):
         h, c = carry
         if mask is None:
-            gates = inp + h @ w_hh
+            xp = inp
         else:
             xp, m = inp
-            gates = xp + h @ w_hh
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-        g = jnp.tanh(g)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new = _gate_update(xp + h @ w_hh, c)
         if mask is not None:
             m = m[:, None]
             c_new = m * c_new + (1 - m) * c

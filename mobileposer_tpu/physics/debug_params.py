@@ -43,6 +43,9 @@ class DebugParams:
             return cls(json.load(f), path=str(path))
 
     def save(self, path=None) -> str:
+        if path is None and self._path is None:
+            raise ValueError("no path: this DebugParams was built from "
+                             "attrs — pass save(path=...)")
         path = str(path or self._path)
         with open(path, "w") as f:
             json.dump(self._attrs, f, indent=2)
@@ -57,18 +60,20 @@ class DebugParams:
     # -- live reload (replaces reading bullet sliders each frame) -----------
     def poll(self) -> bool:
         """Re-read the backing file if it changed. Returns True on reload;
-        a malformed mid-edit file is skipped and retried next poll."""
+        a malformed mid-edit file is skipped and retried next poll (the
+        mtime is only committed after a successful parse, so a completed
+        write under the same timestamp is still picked up)."""
         if self._path is None:
             return False
         m = self._stat()
         if m == self._mtime:
             return False
-        self._mtime = m
         try:
             with open(self._path) as f:
                 attrs = json.load(f)
         except (json.JSONDecodeError, OSError):
             return False
+        self._mtime = m
         self._attrs = [dict(a) for a in attrs]
         for a in self._attrs:
             a["value"] = self._clamp(a, a.get("value", a.get("min", 0.0)))

@@ -49,7 +49,9 @@ class JSONLSink(MetricsSink):
 
 class CSVSink(MetricsSink):
     """CSV with a header from the first record (late keys are dropped —
-    records within one training run share a schema)."""
+    records within one training run share a schema). Appending to an
+    existing file requires its header to match the record keys: silently
+    writing misaligned rows under an old header would corrupt the file."""
 
     def __init__(self, path):
         Path(path).parent.mkdir(parents=True, exist_ok=True)
@@ -59,9 +61,19 @@ class CSVSink(MetricsSink):
 
     def log(self, record: Dict) -> None:
         if self._writer is None:
+            fieldnames = list(record)
+            existing = None
+            if Path(self._path).exists() and Path(self._path).stat().st_size:
+                with open(self._path, newline="") as f:
+                    existing = next(csv.reader(f), None)
+            if existing is not None and existing != fieldnames:
+                raise ValueError(
+                    f"{self._path} has header {existing}, new records have "
+                    f"keys {fieldnames}; appending would misalign columns — "
+                    "use a fresh path or delete the old file")
             self._f = open(self._path, "a", newline="")
-            self._writer = csv.DictWriter(self._f, fieldnames=list(record))
-            if self._f.tell() == 0:
+            self._writer = csv.DictWriter(self._f, fieldnames=fieldnames)
+            if existing is None:
                 self._writer.writeheader()
         self._writer.writerow({k: record.get(k) for k in self._writer.fieldnames})
         self._f.flush()

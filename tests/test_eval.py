@@ -153,21 +153,30 @@ def test_forward_offline_batched_matches_sequential(body):
                                    np.asarray(contact_ref), atol=3e-5)
 
 
-def test_evaluate_pose_batched_matches_serial(body):
+def test_evaluate_pose_batched_matches_serial(body, monkeypatch):
     """The batched ONLINE+offline evaluation (sequences grouped and run as
-    independent streams) must reproduce the per-sequence path's metrics."""
+    independent streams) must reproduce the per-sequence path's metrics —
+    with genuinely heterogeneous sequence lengths, so the length grouping,
+    per-sequence slicing within a chunk, and last-frame stream padding are
+    all exercised (a shrunken pad bucket makes the lengths span TWO
+    groups)."""
     from mobileposer_tpu.data import EvalSequence, PoseDataset
     from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
     from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    import mobileposer_tpu.evaluation.evaluator as ev_mod
     import tempfile, os
+    # smallest bucket compatible with the evaluator's 128-frame
+    # FK blocking
+    monkeypatch.setattr(ev_mod, "_BUCKET", 128)
     with tempfile.TemporaryDirectory() as d:
-        f = os.path.join(d, "eval.pt")
-        # two sequences of different lengths -> exercises length grouping,
-        # stream padding, and the power-of-two batch bucket
-        make_synthetic_processed_dataset(f, n_sequences=3, T=40, seed=2,
-                                         body_model=body)
+        files = []
+        for i, T in enumerate((20, 28, 150)):  # groups: 128, 128, 256
+            f = os.path.join(d, f"eval{i}.pt")
+            make_synthetic_processed_dataset(f, n_sequences=1, T=T,
+                                             seed=2 + i, body_model=body)
+            files.append(f)
         ds = PoseDataset(fold="test", evaluate="dip", body_model=body,
-                         data_files=[f])
+                         data_files=files)
         view = EvalSequence(ds, combo="lw_rp")
         net = MobilePoserNet(body)
         params = init_all_modules(jax.random.PRNGKey(0))
