@@ -40,14 +40,37 @@ class PhysicsState(NamedTuple):
 
 
 class PhysicsOptimizer:
-    """Per-frame refiner with the reference's optimize_frame signature."""
+    """Per-frame refiner with the reference's optimize_frame signature.
+
+    With `dynamics` (a physics.DynamicsModel), the contact anchoring
+    becomes balance-aware: the quasi-static Zero-Moment Point of the pose
+    is computed each frame, and the further it falls outside the planted
+    foot's support box, the harder the anchor pulls (a dynamically
+    implausible pose earns less trust than the contact evidence). Without
+    `dynamics` the anchoring is driven by contact probability alone."""
 
     def __init__(self, body_model=None, smoothing: float = 0.2,
-                 contact_threshold: float = 0.7, debug: bool = False):
+                 contact_threshold: float = 0.7, debug: bool = False,
+                 dynamics=None, support_halfwidth: float = 0.12,
+                 zmp_scale: float = 0.3):
         self.body = body_model
         self.smoothing = smoothing
         self.contact_threshold = contact_threshold
         self.debug = debug
+        self.dynamics = dynamics
+        self.support_halfwidth = support_halfwidth
+        self.zmp_scale = zmp_scale
+
+    def _zmp_overshoot(self, pose, tran, foot_xz):
+        """Quasi-static ZMP distance outside the support box around the
+        planted foot (meters in the ground plane); 0 when balanced."""
+        from mobileposer_tpu.kinematics import rotation as R
+        aa = R.rotation_matrix_to_axis_angle(pose).reshape(-1)
+        q = jnp.concatenate([tran, aa])
+        zero = jnp.zeros(self.dynamics.qdot_size)
+        zmp = self.dynamics.calc_zero_moment_point(q, zero, zero)
+        d = jnp.abs(zmp[jnp.asarray([0, 2])] - foot_xz)
+        return jnp.linalg.norm(jnp.maximum(d - self.support_halfwidth, 0.0))
 
     def reset_states(self) -> PhysicsState:
         return PhysicsState(
@@ -87,6 +110,14 @@ class PhysicsOptimizer:
                                  state.prev_rfoot - rfoot)
             strength = jnp.clip((jnp.max(prob) - self.contact_threshold)
                                 / (1 - self.contact_threshold), 0.0, 1.0)
+            if self.dynamics is not None:
+                planted = jnp.where(prob[0] > prob[1], lfoot, rfoot)
+                overshoot = self._zmp_overshoot(
+                    pose_out, tran, planted[jnp.asarray([0, 2])])
+                # ZMP outside the support box = the pose alone cannot be
+                # statically balanced there -> lean harder on the contact
+                strength = jnp.clip(
+                    strength + overshoot / self.zmp_scale, 0.0, 1.0)
             tran = tran + jnp.where(state.initialized, strength, 0.0) * anchored
             lfoot, rfoot = joints[0, 10] + tran, joints[0, 11] + tran
         else:

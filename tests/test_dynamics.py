@@ -190,3 +190,37 @@ def test_from_smpl_params_reasonable():
     for b in range(N_BODIES):
         eigs = np.linalg.eigvalsh(p.inertia[b].astype(np.float64))
         assert eigs.min() > 0
+
+
+def test_physics_optimizer_zmp_aware_anchoring(model):
+    """With a DynamicsModel attached, an unbalanced pose (ZMP far from the
+    planted foot) must anchor at least as hard as a balanced one, and the
+    refiner stays jit-compatible."""
+    from mobileposer_tpu.physics import PhysicsOptimizer
+    body = model.body_model
+    opt = PhysicsOptimizer(body_model=body, dynamics=model,
+                           contact_threshold=0.5)
+    eye_pose = jnp.broadcast_to(jnp.eye(3), (24, 3, 3))
+    # lean the whole body far forward at the root -> com/ZMP leaves the
+    # support box of the feet
+    from mobileposer_tpu.kinematics import rotation as R
+    lean = R.axis_angle_to_rotation_matrix(jnp.asarray([[1.2, 0.0, 0.0]]))[0]
+    lean_pose = eye_pose.at[0].set(lean)
+
+    contact = jnp.asarray([3.0, -3.0])          # left foot planted
+    vel = jnp.zeros((24, 3))
+    step = jax.jit(opt.optimize_frame)
+
+    def drift_correction(pose):
+        state = opt.reset_states()
+        # frame 1 initializes anchors; frame 2 applies anchoring
+        (_, tran1), state = step(pose, vel, contact, None, state,
+                                 jnp.zeros(3))
+        (_, tran2), _ = step(pose, vel, contact, None, state,
+                             jnp.asarray([0.05, 0.0, 0.0]))  # 5 cm drift
+        return float(jnp.linalg.norm(tran2 - jnp.asarray([0.05, 0.0, 0.0])))
+
+    corr_balanced = drift_correction(eye_pose)
+    corr_leaning = drift_correction(lean_pose)
+    assert corr_leaning >= corr_balanced - 1e-6
+    assert corr_leaning > 0.0                    # anchoring engaged
