@@ -109,6 +109,30 @@ def main():
     dev_c = max(timed_fetch(run_carry, params, cstates, frames) - rtt, 1e-9)
     result["carry_mode_frames_per_sec"] = round(n_streams * n_frames / dev_c, 1)
 
+    # carry + bf16 weights/state/frames: carry mode is VPU/bandwidth-bound,
+    # so bf16 nearly doubles it (unlike the exact path, where it measured
+    # as a non-win) — the max-throughput serving configuration.
+    from mobileposer_tpu.nn import cast_params
+    params_bf = cast_params(params, jnp.bfloat16)
+    cstates_bf = jax.tree_util.tree_map(
+        jnp.asarray, net.init_carry_state_batched(n_streams,
+                                                  dtype=jnp.bfloat16))
+    frames_bf = frames.astype(jnp.bfloat16)
+
+    @jax.jit
+    def run_carry_bf(params, cstates, frames):
+        (pose, joints, root, contact), _ = net.forward_carry_sequence_batched(
+            params, cstates, frames)
+        return (pose.astype(jnp.float32).sum()
+                + joints.astype(jnp.float32).sum()
+                + root.astype(jnp.float32).sum()
+                + contact.astype(jnp.float32).sum())
+
+    dev_cb = max(timed_fetch(run_carry_bf, params_bf, cstates_bf, frames_bf)
+                 - rtt, 1e-9)
+    result["carry_mode_bf16_frames_per_sec"] = round(
+        n_streams * n_frames / dev_cb, 1)
+
     if run_checks:
         # Linearity: 4x frames must cost ~4x device time (a sublinear ratio
         # means the harness, not the chip, made the number).

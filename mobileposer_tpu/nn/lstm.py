@@ -143,6 +143,10 @@ def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
         return (h_new, c_new), h_new
 
     xs = x_proj if mask is None else (x_proj, mask)
+    # NOTE: lax.scan unroll measured as a pure loss here (v5e-1, train
+    # step B=256 T=125: unroll=5 -3%..-13%, unroll=25 -22%..-34%) — the
+    # recurrent matmul leaves no fusion headroom and unrolling just bloats
+    # the program. Keep unroll=1 (docs/design.md 6.2).
     (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), xs)
     return ys, (h_t, c_t)
 

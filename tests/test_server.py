@@ -180,3 +180,36 @@ def test_server_rejects_unknown_mode():
     params = init_all_modules(jax.random.PRNGKey(0))
     with pytest.raises(ValueError):
         PoseServer(net, params, host="127.0.0.1", port=0, mode="bogus")
+
+
+def test_bf16_carry_server_round_trip():
+    """--carry --bf16 composition: bf16 weights imply bf16 state/frames
+    (the throughput configuration); replies stay finite f32."""
+    import jax.numpy as jnp
+    from mobileposer_tpu.nn import cast_params
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = cast_params(init_all_modules(jax.random.PRNGKey(0)),
+                         jnp.bfloat16)
+    srv = PoseServer(net, params, host="127.0.0.1", port=0, max_streams=2,
+                     tick_hz=120.0, mode="carry")
+    assert srv.dtype == jnp.bfloat16
+    thread = threading.Thread(target=srv.run, daemon=True)
+    thread.start()
+    # generous timeout: the first tick compiles the bf16 program
+    client = PoseClient(stream_id=3, port=srv.port, timeout=60.0)
+    try:
+        got = 0
+        rng = np.random.RandomState(2)
+        for _ in range(5):
+            client.send_frame(rng.randn(60).astype(np.float32) * 0.1)
+            out = client.recv_pose()
+            if out is not None:
+                assert np.all(np.isfinite(out[0]))
+                got += 1
+        assert got >= 3
+    finally:
+        client.close()
+        srv.stop()
+        thread.join(timeout=5)
+        srv.close()
