@@ -29,6 +29,12 @@ def main(argv=None) -> None:
                              "(or set ONLINE=1, reference-style)")
     parser.add_argument("--tran", action="store_true",
                         help="report translation drift at 1-7 m")
+    parser.add_argument("--online-mode", default="exact",
+                        choices=["exact", "carry"],
+                        help="run the ONLINE protocol through exact window "
+                             "semantics or carry-mode streaming — the "
+                             "parity-day A/B for the approximation's "
+                             "accuracy cost (models/streaming.py)")
     args = parser.parse_args(argv)
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
@@ -39,7 +45,8 @@ def main(argv=None) -> None:
     from mobileposer_tpu.utils.helpers import getenv_flag
     evaluate_pose(net, params, view,
                   online=args.online or getenv_flag("ONLINE"),
-                  evaluate_tran=args.tran)
+                  evaluate_tran=args.tran,
+                  online_mode=args.online_mode)
 
 
 if __name__ == "__main__":

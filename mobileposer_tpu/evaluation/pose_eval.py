@@ -134,7 +134,7 @@ def _predict_offline_batched(net, params, imus, bucket, max_batch):
 
 
 def _predict_online_batched(net, params, imus, num_future_frames, bucket,
-                            max_batch):
+                            max_batch, mode: str = "exact"):
     """ONLINE-protocol predictions for a list of sequences, batched as
     independent streams (reference protocol: evaluate.py:62-64 — per-frame
     streaming with `num_future_frames` of last-frame padding).
@@ -143,8 +143,17 @@ def _predict_online_batched(net, params, imus, num_future_frames, bucket,
     with fresh state; streams are padded to a common scan length per group.
     Outputs at frame t depend only on frames <= t, so tail padding cannot
     affect the sliced-off prefix.
-    """
-    run = jax.jit(net.forward_online_sequence_batched)
+
+    mode='carry' runs the same protocol through carry-mode streaming
+    (models/streaming.py) — emission timing is identical, so the metrics
+    quantify exactly the approximation's accuracy cost (the parity-day
+    A/B for whether carry mode may serve)."""
+    if mode == "carry":
+        run = jax.jit(net.forward_carry_sequence_batched)
+        init_state = net.init_carry_state_batched
+    else:
+        run = jax.jit(net.forward_online_sequence_batched)
+        init_state = net.init_online_state_batched
     ns = [x.shape[0] + num_future_frames for x in imus]
     groups: Dict[int, List[int]] = {}
     for i, n in enumerate(ns):
@@ -160,7 +169,7 @@ def _predict_online_batched(net, params, imus, num_future_frames, bucket,
                     [imus[i], np.repeat(imus[i][-1:], P - imus[i].shape[0],
                                         axis=0)])
                 frames[:, k] = seq
-            state = net.init_online_state_batched(n_pad)
+            state = init_state(n_pad)
             (poses, _, trans, _), _ = run(params, state, jnp.asarray(frames))
             poses, trans = np.asarray(poses), np.asarray(trans)
             for k, i in enumerate(chunk):
@@ -173,7 +182,7 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
                   online: bool = False, evaluate_tran: bool = False,
                   num_future_frames: int = C.model_config.future_frames,
                   verbose: bool = True, batch_sequences: bool = True,
-                  max_batch: int = 64):
+                  max_batch: int = 64, online_mode: str = "exact"):
     """Offline (and optionally online) evaluation over a sequence dataset
     (reference: evaluate.py:39-107).
 
@@ -205,9 +214,12 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
                                                  max_batch)
         online_preds = (_predict_online_batched(net, params, imus,
                                                 num_future_frames, _BUCKET,
-                                                max_batch)
+                                                max_batch, mode=online_mode)
                         if online else [None] * len(items))
     else:
+        if online_mode != "exact":
+            raise ValueError("online_mode='carry' requires "
+                             "batch_sequences=True")
         forward_offline = jax.jit(net.forward_offline)
         forward_online_seq = (jax.jit(net.forward_online_sequence)
                               if online else None)

@@ -206,3 +206,31 @@ def test_carry_streaming_sharded_over_mesh(net, params):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(pose_sh), np.asarray(pose_ref),
                                atol=2e-5)
+
+
+def test_online_protocol_carry_mode(net, params, tmp_path):
+    """evaluate_pose(online_mode='carry') runs the ONLINE protocol through
+    carry-mode streaming: finite metrics, comparable shape to exact — the
+    parity-day A/B harness."""
+    from mobileposer_tpu.data import EvalSequence, PoseDataset
+    from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
+    from mobileposer_tpu.evaluation import evaluate_pose
+    f = tmp_path / "eval.pt"
+    make_synthetic_processed_dataset(f, n_sequences=2, T=30, seed=5,
+                                     body_model=net.body_model)
+    ds = PoseDataset(fold="test", evaluate="dip", body_model=net.body_model,
+                     data_files=[f])
+    view = EvalSequence(ds, combo="lw_rp")
+    res_c = evaluate_pose(net, params, view, online=True, verbose=False,
+                          online_mode="carry")
+    res_e = evaluate_pose(net, params, view, online=True, verbose=False,
+                          online_mode="exact")
+    assert res_c["online"].shape == res_e["online"].shape == (8, 2)
+    assert np.all(np.isfinite(res_c["online"]))
+    # offline rows identical (untouched by the online mode)
+    np.testing.assert_allclose(res_c["offline"], res_e["offline"], atol=1e-5)
+
+    import pytest
+    with pytest.raises(ValueError):
+        evaluate_pose(net, params, view, online=True, verbose=False,
+                      online_mode="carry", batch_sequences=False)
