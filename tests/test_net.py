@@ -12,7 +12,7 @@ from mobileposer_tpu.kinematics import rotation as R
 from mobileposer_tpu.models import (
     MODULE_CONFIGS, MobilePoserNet, footcontact_loss, forward,
     init_all_modules, joints_loss, multiscale_velocity_loss, poser_loss,
-    reduced_global_to_full, velocity_loss,
+    reduced_global_to_full, reduced_global_to_full_soa, velocity_loss,
 )
 
 
@@ -70,6 +70,23 @@ def test_reduced_global_to_full_roundtrip(body):
         np.testing.assert_allclose(np.asarray(full_local[:, ig]),
                                    np.broadcast_to(np.eye(3), (n, 3, 3)),
                                    atol=1e-6)
+
+
+def test_reduced_global_to_full_soa_matches_reference_layout(body):
+    """The lane-major (structure-of-arrays) assembly used by the streaming
+    hot paths must match the generic layout bit-for-bit-ish: same formulas,
+    only the memory layout differs."""
+    key = jax.random.PRNGKey(5)
+    n = 37
+    r6d = jax.random.normal(key, (n, 96))        # raw, unnormalized 6D
+    want = reduced_global_to_full(r6d, body)
+    got = reduced_global_to_full_soa(r6d, body)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # degenerate inputs (zero vectors) take the clamped-norm path in both
+    r6d0 = r6d.at[:, :12].set(0.0)
+    np.testing.assert_allclose(
+        np.asarray(reduced_global_to_full_soa(r6d0, body)),
+        np.asarray(reduced_global_to_full(r6d0, body)), atol=1e-6)
 
 
 def test_forward_shapes(params, body):
