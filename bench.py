@@ -106,8 +106,13 @@ def main():
             params, cstates, frames)
         return pose.sum() + joints.sum() + root.sum() + contact.sum()
 
+    from benchmarks.flops import carry_flops_per_emitted_frame
+    cflops = carry_flops_per_emitted_frame()
     dev_c = max(timed_fetch(run_carry, params, cstates, frames) - rtt, 1e-9)
-    result["carry_mode_frames_per_sec"] = round(n_streams * n_frames / dev_c, 1)
+    fps_c = n_streams * n_frames / dev_c
+    result["carry_mode_frames_per_sec"] = round(fps_c, 1)
+    result["carry_mode_pct_of_peak"] = round(
+        100.0 * fps_c * cflops / DEFAULT_PEAK, 2)
 
     # carry + bf16 weights/state/frames: carry mode is VPU/bandwidth-bound,
     # so bf16 nearly doubles it (unlike the exact path, where it measured
@@ -130,8 +135,10 @@ def main():
 
     dev_cb = max(timed_fetch(run_carry_bf, params_bf, cstates_bf, frames_bf)
                  - rtt, 1e-9)
-    result["carry_mode_bf16_frames_per_sec"] = round(
-        n_streams * n_frames / dev_cb, 1)
+    fps_cb = n_streams * n_frames / dev_cb
+    result["carry_mode_bf16_frames_per_sec"] = round(fps_cb, 1)
+    result["carry_mode_bf16_pct_of_peak"] = round(
+        100.0 * fps_cb * cflops / DEFAULT_PEAK, 2)
 
     if run_checks:
         # Linearity: 4x frames must cost ~4x device time (a sublinear ratio

@@ -97,8 +97,11 @@ def main(argv=None):
     def joints_step(carry):
         jc, x = carry
         y_tail, jc = CS.joints_carry_step(params["joints"], jc, x, ini)
-        # fold the output back into the input to serialize iterations
-        return jc, x + y_tail[0, :, :60].astype(x.dtype) * 1e-6
+        # serialize iterations by folding the FULL output (all tail
+        # positions) back in, so no provisional step is dead code
+        # (CLAUDE.md benchmark honesty)
+        return jc, x + (y_tail.astype(jnp.float32).sum()
+                        * jnp.float32(1e-9)).astype(x.dtype)
 
     report("joints_tail", timed_fetch(
         _chain(joints_step, lambda a: a, N), (jc0, imu_t)))
@@ -112,7 +115,8 @@ def main(argv=None):
     def poser_step(carry):
         pc, x = carry
         y, pc = CS.bi_carry_step(params["poser"], pc, x, ini)
-        return pc, x + y[None, :, :1].astype(x.dtype) * 1e-6
+        return pc, x + (y.astype(jnp.float32).sum()
+                        * jnp.float32(1e-9)).astype(x.dtype)
 
     report("poser_tail", timed_fetch(
         _chain(poser_step, lambda a: a, N), (pc0, x132)))
@@ -124,7 +128,8 @@ def main(argv=None):
     def fc_step(carry):
         fc, x = carry
         y, fc = CS.bi_carry_step(params["footcontact"], fc, x, ini)
-        return fc, x + y[None, :, :1].astype(x.dtype) * 1e-6
+        return fc, x + (y.astype(jnp.float32).sum()
+                        * jnp.float32(1e-9)).astype(x.dtype)
 
     report("footcontact_tail", timed_fetch(
         _chain(fc_step, lambda a: a, N), (fc0, x132)))
@@ -136,7 +141,8 @@ def main(argv=None):
     def vel_step(carry):
         h, c, x = carry
         y, h, c = CS.velocity_carry_step(params["velocity"], h, c, x, ini)
-        return h, c, x + y[:, :1].astype(x.dtype) * 1e-6
+        return h, c, x + (y.astype(jnp.float32).sum()
+                          * jnp.float32(1e-9)).astype(x.dtype)
 
     report("velocity_cells", timed_fetch(
         _chain(vel_step, lambda a: a, N), (vh0, vh0, x_emit)))
@@ -147,14 +153,16 @@ def main(argv=None):
 
     def ik_step(r6d):
         pose = reduced_global_to_full(r6d, net.body_model)
-        return r6d + pose[:, :16, :2, :].reshape(S, 96).astype(r6d.dtype) * 1e-6
+        return r6d + (pose.astype(jnp.float32).sum()
+                      * jnp.float32(1e-9)).astype(r6d.dtype)
 
     report("ik_per_frame_aos", timed_fetch(
         _chain(ik_step, lambda a: a, N), r6d0))
 
     def ik_step_soa(r6d):
         pose = reduced_global_to_full_soa(r6d, net.body_model)
-        return r6d + pose[:, :16, :2, :].reshape(S, 96).astype(r6d.dtype) * 1e-6
+        return r6d + (pose.astype(jnp.float32).sum()
+                      * jnp.float32(1e-9)).astype(r6d.dtype)
 
     report("ik_per_frame_soa", timed_fetch(
         _chain(ik_step_soa, lambda a: a, N), r6d0))

@@ -244,10 +244,13 @@ def bench_carry_streaming(net, params, rtt):
     wall_bf = timed_fetch(run_bf, params_bf, state_bf,
                           frames.astype(jnp.bfloat16), reps=3)
     fps_bf = S * N / max(wall_bf - rtt, 1e-9)
+    cflops = carry_flops_per_emitted_frame()
     return {"metric": "carry_mode_frames_per_sec", "value": round(fps, 1),
             "unit": "frames/s", "streams": S, "exact_semantics": False,
             "bf16_frames_per_sec": round(fps_bf, 1),
-            **_flops_fields(fps, carry_flops_per_emitted_frame())}
+            "bf16_pct_of_peak": round(100.0 * fps_bf * cflops / DEFAULT_PEAK,
+                                      2),
+            **_flops_fields(fps, cflops)}
 
 
 def bench_stream_latency(net, params, rtt):

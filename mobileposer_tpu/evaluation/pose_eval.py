@@ -195,6 +195,12 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
     False keeps the per-sequence path (same numbers, used as the oracle in
     tests).
     """
+    if online_mode not in ("exact", "carry"):
+        # validate up front: an unknown mode must not silently fall back to
+        # the exact path (a parity A/B would then compare exact vs exact
+        # and wrongly report a zero accuracy delta)
+        raise ValueError(f"online_mode must be 'exact' or 'carry', "
+                         f"got {online_mode!r}")
     evaluator = PoseEvaluator(net.body_model)
     offline_errs, online_errs = [], []
     tran_errors: Dict[int, List[float]] = {w: [] for w in range(1, 8)}

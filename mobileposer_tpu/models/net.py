@@ -114,8 +114,12 @@ def reduced_global_to_full(reduced_r6d: jnp.ndarray,
 
 
 def _soa_parent_map(body_model: ParametricModel) -> np.ndarray:
-    par = np.array([0 if p < 0 else p for p in body_model.parent], np.int32)
-    return par
+    """Root-clamped parent indices, cached on the body (numpy constant —
+    it constant-folds under jit, same pattern as _GATHER_MAP)."""
+    if not hasattr(body_model, "_soa_parent_np"):
+        body_model._soa_parent_np = np.array(
+            [0 if p < 0 else p for p in body_model.parent], np.int32)
+    return body_model._soa_parent_np
 
 
 def reduced_global_to_full_soa(reduced_r6d: jnp.ndarray,
@@ -136,7 +140,6 @@ def reduced_global_to_full_soa(reduced_r6d: jnp.ndarray,
     N = reduced_r6d.shape[0]
     dtype = reduced_r6d.dtype
     x = jnp.transpose(reduced_r6d.reshape(N, -1, 6), (1, 2, 0))  # [16, 6, N]
-    J = x.shape[0]
 
     # Gram-Schmidt (reference angular.py:167-182), batched over lanes;
     # the norm clamp matches kinematics.rotation._safe_norm exactly.
@@ -323,16 +326,19 @@ class MobilePoserNet:
         last_root_pos: jnp.ndarray  # [3]
 
     def init_online_state(self, dtype=jnp.float32) -> "MobilePoserNet.OnlineState":
-        """Fresh streaming state (reference: net.py:58-64 + reset, net.py:84)."""
+        """Fresh streaming state (reference: net.py:58-64 + reset, net.py:84).
+
+        Fusion accumulators/anchors stay float32 under bf16 streaming —
+        see init_online_state_batched."""
         h, c = rnn_zero_state(MODULE_CONFIGS["velocity"], 1, dtype)
         return MobilePoserNet.OnlineState(
             imu=jnp.zeros((NUM_TOTAL, C.model_config.n_imu), dtype),
             initialized=jnp.asarray(False),
             vel_h=h, vel_c=c,
-            last_lfoot=self.feet_pos[0].astype(dtype),
-            last_rfoot=self.feet_pos[1].astype(dtype),
-            current_root_y=jnp.asarray(0.0, dtype),
-            last_root_pos=jnp.zeros(3, dtype))
+            last_lfoot=self.feet_pos[0].astype(jnp.float32),
+            last_rfoot=self.feet_pos[1].astype(jnp.float32),
+            current_root_y=jnp.asarray(0.0, jnp.float32),
+            last_root_pos=jnp.zeros(3, jnp.float32))
 
     def forward_online(self, params: dict, state: "MobilePoserNet.OnlineState",
                        frame: jnp.ndarray):
@@ -372,12 +378,20 @@ class MobilePoserNet:
 
         Built host-side as numpy (eager device ops in setup code cost
         seconds of remote compiles over tunneled transports); the first
-        jitted step moves it to the device."""
+        jitted step moves it to the device.
+
+        The fusion accumulators and foot anchors are ALWAYS float32, even
+        under `dtype=bfloat16` streaming: root translation integrates a
+        per-frame velocity, and at bf16's 8-bit mantissa the increment
+        (~5 cm at 30 Hz walking) drops below one ulp once |tran| passes
+        ~16 m — the stream's translation would quantize, then freeze. The
+        bf16 win (2x VPU rate, half the HBM traffic) comes from the LSTM
+        weights/activations; these [S, 3]/[S] buffers cost nothing in f32."""
         S = n_streams
         np_dtype = np.dtype(str(jnp.dtype(dtype)))
         cfg = MODULE_CONFIGS["velocity"]
         n_stack = cfg.n_layers
-        feet = np.asarray(self.feet_pos, np_dtype)
+        feet = np.asarray(self.feet_pos, np.float32)
         return MobilePoserNet.OnlineState(
             imu=np.zeros((S, NUM_TOTAL, C.model_config.n_imu), np_dtype),
             initialized=np.zeros((S,), bool),
@@ -385,8 +399,8 @@ class MobilePoserNet:
             vel_c=np.zeros((n_stack, S, cfg.n_hidden), np_dtype),
             last_lfoot=np.broadcast_to(feet[0], (S, 3)).copy(),
             last_rfoot=np.broadcast_to(feet[1], (S, 3)).copy(),
-            current_root_y=np.zeros((S,), np_dtype),
-            last_root_pos=np.zeros((S, 3), np_dtype))
+            current_root_y=np.zeros((S,), np.float32),
+            last_root_pos=np.zeros((S, 3), np.float32))
 
     def _fusion_step(self, joints, contact, vel_emit, last_lfoot, last_rfoot,
                      current_root_y, last_root_pos):
@@ -413,9 +427,13 @@ class MobilePoserNet:
                         self.floor_y - current_foot_y, velocity[:, 1])
         velocity = jnp.concatenate(
             [velocity[:, :1], v_y[:, None], velocity[:, 2:]], axis=1)
-        # keep the carried state's dtype (f64/np constants promote bf16)
+        # keep the carried state's dtype (f64/np constants promote bf16;
+        # and under bf16 streaming the accumulators/anchors stay f32 —
+        # see init_online_state_batched)
         velocity = velocity.astype(last_root_pos.dtype)
         v_y = v_y.astype(current_root_y.dtype)
+        lfoot = lfoot.astype(last_lfoot.dtype)
+        rfoot = rfoot.astype(last_rfoot.dtype)
         return velocity, v_y, lfoot, rfoot
 
     def forward_online_batched(self, params: dict,

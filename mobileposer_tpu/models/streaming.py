@@ -212,14 +212,20 @@ class CarryState(NamedTuple):
 def init_carry_state_batched(net, n_streams: int, dtype=jnp.float32
                              ) -> CarryState:
     """Host-built fresh state (numpy; eager device ops in setup code cost
-    remote compiles over tunneled transports — see CLAUDE.md)."""
+    remote compiles over tunneled transports — see CLAUDE.md).
+
+    The fusion accumulators/anchors (feet, root height, root position) are
+    ALWAYS float32, even for bf16 streaming: translation integrates a
+    per-frame velocity whose magnitude drops below one bf16 ulp once the
+    accumulated position passes ~16 m, after which a bf16 accumulator
+    quantizes and freezes (see MobilePoserNet.init_online_state_batched)."""
     S = n_streams
     np_dtype = np.dtype(str(jnp.dtype(dtype)))
     Hv = MODULE_CONFIGS["velocity"].n_hidden
     Hj = MODULE_CONFIGS["joints"].n_hidden
     Hp = MODULE_CONFIGS["poser"].n_hidden
     Hf = MODULE_CONFIGS["footcontact"].n_hidden
-    feet = np.asarray(net.feet_pos, np_dtype)
+    feet = np.asarray(net.feet_pos, np.float32)
 
     def z(*shape):
         return np.zeros(shape, np_dtype)
@@ -234,7 +240,8 @@ def init_carry_state_batched(net, n_streams: int, dtype=jnp.float32
         vel_h=z(2, S, Hv), vel_c=z(2, S, Hv),
         last_lfoot=np.broadcast_to(feet[0], (S, 3)).copy(),
         last_rfoot=np.broadcast_to(feet[1], (S, 3)).copy(),
-        current_root_y=z(S), last_root_pos=z(S, 3))
+        current_root_y=np.zeros((S,), np.float32),
+        last_root_pos=np.zeros((S, 3), np.float32))
 
 
 def forward_carry_batched(net, params: dict, state: CarryState,

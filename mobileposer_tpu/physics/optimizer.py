@@ -115,9 +115,13 @@ class PhysicsOptimizer:
                 overshoot = self._zmp_overshoot(
                     pose_out, tran, planted[jnp.asarray([0, 2])])
                 # ZMP outside the support box = the pose alone cannot be
-                # statically balanced there -> lean harder on the contact
-                strength = jnp.clip(
-                    strength + overshoot / self.zmp_scale, 0.0, 1.0)
+                # statically balanced there -> lean harder on the contact.
+                # MULTIPLICATIVE: the boost amplifies anchoring the contact
+                # probability already justifies; with no confident contact
+                # (strength == 0, e.g. flight phase) imbalance is expected
+                # and must not pin the airborne foot.
+                boost = jnp.clip(overshoot / self.zmp_scale, 0.0, 1.0)
+                strength = jnp.clip(strength * (1.0 + boost), 0.0, 1.0)
             tran = tran + jnp.where(state.initialized, strength, 0.0) * anchored
             lfoot, rfoot = joints[0, 10] + tran, joints[0, 11] + tran
         else:

@@ -58,10 +58,13 @@ class PoseServer:
         if mode not in ("exact", "carry"):
             raise ValueError(f"unknown serving mode {mode!r}")
         self.mode = mode
-        # serve in the weights' dtype: bf16 params with f32 state would
-        # silently promote every op back to f32 — the bf16 win comes from
-        # bf16 ACTIVATIONS/state (2x VPU rate + half the HBM traffic;
-        # measured ~1.5x on carry mode, v5e)
+        # serve in the weights' dtype: bf16 params with f32 activations
+        # would silently promote every op back to f32 — the bf16 win comes
+        # from bf16 ACTIVATIONS/LSTM state (2x VPU rate + half the HBM
+        # traffic; measured ~1.5x on carry mode, v5e). The state factories
+        # keep the fusion accumulators f32 regardless (bf16 translation
+        # accumulators quantize then freeze past ~16 m — see
+        # init_online_state_batched).
         leaf = jax.tree_util.tree_leaves(params)[0]
         self.dtype = jnp.dtype(getattr(leaf, "dtype", jnp.float32))
 

@@ -224,3 +224,28 @@ def test_physics_optimizer_zmp_aware_anchoring(model):
     corr_leaning = drift_correction(lean_pose)
     assert corr_leaning >= corr_balanced - 1e-6
     assert corr_leaning > 0.0                    # anchoring engaged
+
+
+def test_physics_optimizer_no_anchor_in_flight_phase(model):
+    """Without confident contact (flight phase), imbalance must NOT engage
+    the anchor: the ZMP boost only amplifies contact-justified anchoring,
+    it never creates anchoring on its own (an airborne foot moving is
+    expected, not drift)."""
+    from mobileposer_tpu.kinematics import rotation as R
+    from mobileposer_tpu.physics import PhysicsOptimizer
+    body = model.body_model
+    opt = PhysicsOptimizer(body_model=body, dynamics=model,
+                           contact_threshold=0.7)
+    lean = R.axis_angle_to_rotation_matrix(jnp.asarray([[1.2, 0.0, 0.0]]))[0]
+    lean_pose = jnp.broadcast_to(jnp.eye(3), (24, 3, 3)).at[0].set(lean)
+    contact = jnp.asarray([-3.0, -3.0])          # both feet in the air
+    vel = jnp.zeros((24, 3))
+    step = jax.jit(opt.optimize_frame)
+
+    state = opt.reset_states()
+    (_, _), state = step(lean_pose, vel, contact, None, state, jnp.zeros(3))
+    drifted = jnp.asarray([0.05, 0.0, 0.0])
+    (_, tran2), _ = step(lean_pose, vel, contact, None, state, drifted)
+    # the translation passes through un-anchored, however unbalanced the pose
+    np.testing.assert_allclose(np.asarray(tran2), np.asarray(drifted),
+                               atol=1e-6)

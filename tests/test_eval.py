@@ -128,6 +128,14 @@ def test_evaluate_pose_end_to_end(body):
         assert res["offline"].shape == (8, 2)
         assert np.all(np.isfinite(res["offline"]))
 
+        # unknown online_mode must raise up front, not silently run the
+        # exact path (a parity A/B would compare exact vs exact and report
+        # a bogus zero delta)
+        import pytest
+        with pytest.raises(ValueError, match="online_mode"):
+            evaluate_pose(net, params, view, online=True, verbose=False,
+                          online_mode="carry-mode")
+
 
 def test_forward_offline_batched_matches_sequential(body):
     """Batched offline inference over padded sequences must match

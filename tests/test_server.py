@@ -152,8 +152,12 @@ def test_carry_mode_server_round_trip():
     rng = np.random.RandomState(1)
     client = PoseClient(stream_id=7, port=srv.port)
     try:
+        # deadline-based: the first ticks can lag by seconds of jit compile
+        # on a contended 1-core host, so count successes until we have
+        # enough rather than expecting a fixed hit rate
         got = 0
-        for _ in range(5):
+        deadline = time.time() + 30.0
+        while got < 3 and time.time() < deadline:
             client.send_frame(rng.randn(60).astype(np.float32) * 0.1)
             out = client.recv_pose()
             if out is not None:

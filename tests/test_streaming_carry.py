@@ -155,6 +155,44 @@ def test_carry_outputs_sane_and_rotations_valid(net, params):
                                atol=1e-4)
 
 
+def test_bf16_streaming_keeps_f32_fusion_accumulators(net, params):
+    """bf16 serving must keep the translation accumulators in float32: a
+    bf16 accumulator's ulp passes a 30 Hz walking step (~5 cm) once |tran|
+    reaches ~16 m, after which translation quantizes and freezes. The LSTM
+    state/activations stay bf16 (that is where the throughput win is)."""
+    from mobileposer_tpu.nn import cast_params
+    S, N = 2, 6
+    for st in (net.init_carry_state_batched(S, dtype=jnp.bfloat16),
+               net.init_online_state_batched(S, dtype=jnp.bfloat16)):
+        assert jnp.dtype(st.last_root_pos.dtype) == jnp.float32
+        assert jnp.dtype(st.current_root_y.dtype) == jnp.float32
+        assert jnp.dtype(st.last_lfoot.dtype) == jnp.float32
+        assert jnp.dtype(st.vel_h.dtype) == jnp.bfloat16
+
+    # integration keeps moving far from the origin: park a stream at 100 m
+    # and verify per-frame increments survive (in bf16 they round to 0
+    # whenever |increment| < 0.5 m out there)
+    params_bf = cast_params(params, jnp.bfloat16)
+    st = jax.tree_util.tree_map(jnp.asarray,
+                                net.init_carry_state_batched(S, jnp.bfloat16))
+    frames = (jax.random.normal(jax.random.PRNGKey(3), (N, S, 60)) * 0.3
+              ).astype(jnp.bfloat16)
+    # burn in so initialized=True and the LSTM carries are non-trivial,
+    # then run the SAME frames from the same state near and far from the
+    # origin — per-frame displacements must match (in a bf16 accumulator
+    # they round to 0 whenever |increment| < 0.5 m at |tran| ~ 100 m)
+    run = jax.jit(net.forward_carry_sequence_batched)
+    _, st1 = run(params_bf, st, frames)
+    (_, _, root_a, _), _ = run(params_bf, st1, frames)
+    far = st1._replace(last_root_pos=st1.last_root_pos + 100.0)
+    (_, _, root_b, _), _ = run(params_bf, far, frames)
+    steps_near = np.diff(np.asarray(root_a, np.float64), axis=0)
+    steps_far = np.diff(np.asarray(root_b, np.float64), axis=0)
+    # identical per-frame displacements regardless of distance from origin
+    np.testing.assert_allclose(steps_far, steps_near, atol=1e-4)
+    assert np.abs(steps_near).max() > 1e-5      # the stream actually moves
+
+
 def test_carry_converges_to_windowed_on_constant_input(net, params):
     """On a constant stream both modes' forward states approach the same
     fixed point, so emitted joints must agree after burn-in — a measurable
