@@ -253,6 +253,37 @@ def bench_carry_streaming(net, params, rtt):
             **_flops_fields(fps, cflops)}
 
 
+def bench_carry_max_throughput(net, params, rtt):
+    """Max-throughput serving config: carry mode, bf16, S=1024 streams
+    (measured sweet spot — S=2048 plateaus, exact mode prefers S=256).
+    Single-chip ceiling for fleet-style serving."""
+    from benchmarks.flops import carry_flops_per_emitted_frame
+    from mobileposer_tpu.nn import cast_params
+    S, N = 1024, 100
+    params_bf = cast_params(params, jnp.bfloat16)
+    state = jax.tree_util.tree_map(
+        jnp.asarray, net.init_carry_state_batched(S, dtype=jnp.bfloat16))
+
+    @jax.jit
+    def run(params, state, frames):
+        (pose, joints, root, contact), _ = net.forward_carry_sequence_batched(
+            params, state, frames)
+        return (pose.astype(jnp.float32).sum()
+                + joints.astype(jnp.float32).sum()
+                + root.astype(jnp.float32).sum()
+                + contact.astype(jnp.float32).sum())
+
+    frames = jnp.asarray(
+        np.random.RandomState(8).randn(N, S, 60).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    wall = timed_fetch(run, params_bf, state, frames, reps=3)
+    fps = S * N / max(wall - rtt, 1e-9)
+    return {"metric": "carry_bf16_max_throughput_frames_per_sec",
+            "value": round(fps, 1), "unit": "frames/s", "streams": S,
+            "exact_semantics": False,
+            **_flops_fields(fps, carry_flops_per_emitted_frame())}
+
+
 def bench_stream_latency(net, params, rtt):
     """Single-stream per-frame device latency (the real-time metric: one
     frame must fit in the 33 ms budget of a 30 Hz stream). mode='auto'
@@ -284,6 +315,7 @@ CONFIGS = {
     "train_throughput": bench_train_throughput,
     "stream_latency": bench_stream_latency,
     "carry_streaming": bench_carry_streaming,
+    "carry_max_throughput": bench_carry_max_throughput,
 }
 
 
