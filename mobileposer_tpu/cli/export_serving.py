@@ -1,0 +1,70 @@
+"""Export an AOT-compiled serving bundle (StableHLO via jax.export).
+
+    python -m mobileposer_tpu.cli.export_serving --out bundle/
+        [--model weights.npz] [--streams 256] [--mode carry|exact]
+        [--bf16] [--platforms tpu,cpu] [--smoke-test]
+
+The bundle (step.jaxexport + weights.npz + state.npz + meta.json) runs on
+a serving host without tracing or compiling the model code — see
+mobileposer_tpu/serving.py. Without --model, randomly initialized weights
+are exported (pipeline smoke tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", required=True, help="bundle directory")
+    parser.add_argument("--model", default=None,
+                        help="weights .npz (default: random init)")
+    parser.add_argument("--streams", type=int, default=256)
+    parser.add_argument("--mode", choices=["carry", "exact"],
+                        default="carry")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--platforms", default="tpu,cpu",
+                        help="comma-separated lowering targets")
+    parser.add_argument("--smoke-test", action="store_true",
+                        help="reload the bundle and run one step")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mobileposer_tpu import config as C
+    from mobileposer_tpu.kinematics.smpl import ParametricModel
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    from mobileposer_tpu.models.utils import load_model
+    from mobileposer_tpu.serving import load_bundle, save_bundle
+
+    body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
+    net = MobilePoserNet(body)
+    params = (load_model(args.model) if args.model
+              else init_all_modules(jax.random.PRNGKey(0)))
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.bf16:
+        from mobileposer_tpu.nn import cast_params
+        params = cast_params(params, dtype)
+
+    out = save_bundle(args.out, net, params, n_streams=args.streams,
+                      mode=args.mode, dtype=dtype,
+                      platforms=tuple(args.platforms.split(",")))
+    print(f"exported {args.mode} step (S={args.streams}, "
+          f"{jnp.dtype(dtype).name}) -> {out}")
+
+    if args.smoke_test:
+        step, p, st, meta = load_bundle(out)
+        frames = np.zeros((args.streams, 60),
+                          np.dtype(str(jnp.dtype(dtype))))
+        (pose, joints, root, contact), _ = step(p, st, frames)
+        assert np.isfinite(np.asarray(pose, np.float32)).all()
+        print(f"smoke test ok: pose {pose.shape}, root {root.shape} "
+              f"on {jax.default_backend()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""AOT-compiled serving bundles (jax.export / StableHLO).
+
+Serializes the batched streaming step — exact windowed semantics or carry
+mode — as a platform-tagged StableHLO artifact alongside the weights and a
+fresh streaming state, so a serving host can run the model without tracing
+or re-deriving the model math, and so a program exported today keeps
+running across framework upgrades (StableHLO artifacts are
+forward-compatible; a re-trace is not guaranteed to be).
+
+The reference has no deployment story: serving means running the torch
+modules in-process (reference live_demo.py). Here:
+
+    # build box
+    save_bundle("bundle/", net, params, n_streams=256, mode="carry")
+
+    # serving host (needs jax + this package for the state pytree classes,
+    # but never traces or compiles the model code)
+    step, params, state, meta = load_bundle("bundle/")
+    (pose, joints, root, contact), state = step(params, state, frames)
+
+Bundles are exported for both 'tpu' and 'cpu' by default, so the same
+artifact serves production chips and local smoke tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jx
+
+from mobileposer_tpu.models.net import MobilePoserNet
+from mobileposer_tpu.models.streaming import BiCarry, CarryState, JointsCarry
+from mobileposer_tpu.nn.torch_convert import export_to_npz, load_from_npz
+
+_STEP_FILE = "step.jaxexport"
+_WEIGHTS_FILE = "weights.npz"
+_STATE_FILE = "state.npz"
+_META_FILE = "meta.json"
+
+_registered = False
+
+
+def _register_state_serialization() -> None:
+    """Register the streaming-state NamedTuples with jax.export so the
+    exported call signature round-trips. Idempotent."""
+    global _registered
+    if _registered:
+        return
+    for cls, name in ((MobilePoserNet.OnlineState,
+                       "mobileposer_tpu.OnlineState"),
+                      (CarryState, "mobileposer_tpu.CarryState"),
+                      (JointsCarry, "mobileposer_tpu.JointsCarry"),
+                      (BiCarry, "mobileposer_tpu.BiCarry")):
+        jx.register_namedtuple_serialization(cls, serialized_name=name)
+    _registered = True
+
+
+def _spec(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype),
+        tree)
+
+
+def _fresh_state(net: MobilePoserNet, n_streams: int, mode: str, dtype):
+    if mode == "carry":
+        return net.init_carry_state_batched(n_streams, dtype=dtype)
+    if mode == "exact":
+        return net.init_online_state_batched(n_streams, dtype=dtype)
+    raise ValueError(f"mode must be 'carry' or 'exact', got {mode!r}")
+
+
+def export_streaming_step(net: MobilePoserNet, params: dict, n_streams: int,
+                          mode: str = "carry", dtype=jnp.float32,
+                          platforms: Tuple[str, ...] = ("tpu", "cpu")
+                          ) -> "jx.Exported":
+    """AOT-export one batched streaming step.
+
+    The exported function has the same signature as the live one:
+    (params, state, frames [S, 60]) -> ((pose, joints, root, contact),
+    new_state). Body-model constants are baked into the artifact.
+    """
+    _register_state_serialization()
+    state = _fresh_state(net, n_streams, mode, dtype)
+    step = (net.forward_carry_batched if mode == "carry"
+            else net.forward_online_batched)
+    frames = jax.ShapeDtypeStruct((n_streams, 60), jnp.dtype(dtype))
+    return jx.export(jax.jit(step), platforms=list(platforms))(
+        _spec(params), _spec(state), frames)
+
+
+def _save_state_npz(path, state) -> None:
+    leaves = jax.tree_util.tree_leaves(state)
+    np.savez(path, **{f"leaf_{i}": np.asarray(l)
+                      for i, l in enumerate(leaves)})
+
+
+def _state_treedef(mode: str):
+    """Tree structure of a fresh streaming state, from placeholder leaves
+    (no body model needed at load time)."""
+    if mode == "carry":
+        template = CarryState(0, 0, JointsCarry(0, 0, 0, 0, 0, 0),
+                              BiCarry(0, 0, 0, 0), BiCarry(0, 0, 0, 0),
+                              0, 0, 0, 0, 0, 0)
+    else:
+        template = MobilePoserNet.OnlineState(0, 0, 0, 0, 0, 0, 0, 0)
+    return jax.tree_util.tree_structure(template)
+
+
+def _load_state_npz(path, mode: str):
+    z = np.load(path)
+    leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    return jax.tree_util.tree_unflatten(_state_treedef(mode), leaves)
+
+
+def save_bundle(directory, net: MobilePoserNet, params: dict,
+                n_streams: int, mode: str = "carry", dtype=jnp.float32,
+                platforms: Tuple[str, ...] = ("tpu", "cpu")) -> Path:
+    """Write a self-contained serving bundle: StableHLO step + weights +
+    fresh state + metadata."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    exported = export_streaming_step(net, params, n_streams, mode, dtype,
+                                     platforms)
+    (directory / _STEP_FILE).write_bytes(exported.serialize())
+    export_to_npz(params, directory / _WEIGHTS_FILE)
+    _save_state_npz(directory / _STATE_FILE,
+                    _fresh_state(net, n_streams, mode, dtype))
+    (directory / _META_FILE).write_text(json.dumps({
+        "mode": mode,
+        "n_streams": n_streams,
+        "dtype": str(jnp.dtype(dtype)),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "format": "jax.export StableHLO v1",
+    }, indent=2))
+    return directory
+
+
+def load_bundle(directory):
+    """Load a serving bundle. Returns (step, params, fresh_state, meta);
+    `step(params, state, frames)` executes the AOT artifact (no tracing of
+    model code; jax dispatches the deserialized StableHLO directly)."""
+    _register_state_serialization()
+    directory = Path(directory)
+    meta = json.loads((directory / _META_FILE).read_text())
+    exported = jx.deserialize((directory / _STEP_FILE).read_bytes())
+    params = load_from_npz(directory / _WEIGHTS_FILE)
+    state = _load_state_npz(directory / _STATE_FILE, meta["mode"])
+
+    def step(params, state, frames):
+        return exported.call(params, state, frames)
+
+    return step, params, state, meta

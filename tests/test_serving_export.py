@@ -1,0 +1,88 @@
+"""AOT serving bundles (mobileposer_tpu/serving.py): export, reload, and
+numerical agreement with the live (traced) step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mobileposer_tpu.kinematics import ParametricModel
+from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+from mobileposer_tpu.serving import (export_streaming_step, load_bundle,
+                                     save_bundle)
+
+
+@pytest.fixture(scope="module")
+def net():
+    return MobilePoserNet(ParametricModel.synthetic(num_vertices=240))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_all_modules(jax.random.PRNGKey(0))
+
+
+def _tree_allclose(a, b, atol):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32), atol=atol)
+
+
+@pytest.mark.parametrize("mode", ["carry", "exact"])
+def test_exported_step_matches_live(net, params, mode):
+    S = 3
+    exported = export_streaming_step(net, params, S, mode=mode,
+                                     platforms=("cpu",))
+    if mode == "carry":
+        state = jax.tree_util.tree_map(jnp.asarray,
+                                       net.init_carry_state_batched(S))
+        live = jax.jit(net.forward_carry_batched)
+    else:
+        state = jax.tree_util.tree_map(jnp.asarray,
+                                       net.init_online_state_batched(S))
+        live = jax.jit(net.forward_online_batched)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (S, 60)) * 0.1
+
+    out_live, st_live = live(params, state, frames)
+    out_aot, st_aot = exported.call(params, state, frames)
+    _tree_allclose(out_aot, out_live, atol=1e-6)
+    _tree_allclose(st_aot, st_live, atol=1e-6)
+
+
+def test_bundle_round_trip(net, params, tmp_path):
+    """serialize -> bytes on disk -> deserialize -> multi-step streaming
+    agrees with the live path, including state threading."""
+    S, N = 2, 5
+    save_bundle(tmp_path / "b", net, params, n_streams=S, mode="carry",
+                platforms=("cpu",))
+    step, p, st, meta = load_bundle(tmp_path / "b")
+    assert meta["mode"] == "carry" and meta["n_streams"] == S
+
+    live = jax.jit(net.forward_carry_batched)
+    st_live = jax.tree_util.tree_map(jnp.asarray,
+                                     net.init_carry_state_batched(S))
+    rng = np.random.RandomState(0)
+    for _ in range(N):
+        frames = rng.randn(S, 60).astype(np.float32) * 0.1
+        out_aot, st = step(p, st, frames)
+        out_live, st_live = live(params, st_live, jnp.asarray(frames))
+        _tree_allclose(out_aot, out_live, atol=1e-6)
+
+
+def test_export_cli_smoke(tmp_path):
+    from mobileposer_tpu.cli.export_serving import main
+    main(["--out", str(tmp_path / "bundle"), "--streams", "2",
+          "--mode", "exact", "--platforms", "cpu", "--smoke-test"])
+    assert (tmp_path / "bundle" / "step.jaxexport").exists()
+    assert (tmp_path / "bundle" / "weights.npz").exists()
+    assert (tmp_path / "bundle" / "meta.json").exists()
+
+
+def test_bundle_rejects_bad_mode(net, params, tmp_path):
+    with pytest.raises(ValueError, match="mode"):
+        save_bundle(tmp_path / "x", net, params, 2, mode="bogus",
+                    platforms=("cpu",))
