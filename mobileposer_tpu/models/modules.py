@@ -213,16 +213,16 @@ def poser_loss(params, batch, rng, body_model=None, train: bool = True,
                                                       time_major)
     if body_model is not None:
         # Position loss directly from the predicted GLOBAL rotations: the
-        # reference IK's them to local and FK's back (poser.py:94-95). With
-        # effective=True (non-reduced joints inherit their nearest reduced
-        # ancestor's global rotation — exactly what identity-local FK
-        # produces) the positions are identical, but this path is one
-        # parallel matvec + level-parallel adds instead of the IK + 3x3
-        # matmul chain, which was 4.3x the rest of the step on v5e.
-        from mobileposer_tpu.models.net import reduced_r6d_to_global
-        global_rot = reduced_r6d_to_global(pred.reshape(A0 * A1, -1),
-                                           effective=True)
-        joints_p = body_model.joint_positions_from_global(global_rot)
+        # reference IK's them to local and FK's back (poser.py:94-95).
+        # Identical positions (non-reduced joints inherit their nearest
+        # reduced ancestor's rotation — exactly what identity-local FK
+        # produces), but the whole gather + rotate-bones + tree-add
+        # pipeline is one lane-major matmul over a precomputed bone basis
+        # (net.joint_positions_from_r6d_soa) — the AoS version cost 16% of
+        # the poser train step on v5e.
+        from mobileposer_tpu.models.net import joint_positions_from_r6d_soa
+        joints_p = joint_positions_from_r6d_soa(pred.reshape(A0 * A1, -1),
+                                                body_model)
         joints_p = joints_p.reshape(A0, A1, -1)
         loss = loss + masked_mse(joints_p, target_joints.reshape(A0, A1, -1),
                                  lengths, time_major)

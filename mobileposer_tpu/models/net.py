@@ -122,6 +122,21 @@ def _soa_parent_map(body_model: ParametricModel) -> np.ndarray:
     return body_model._soa_parent_np
 
 
+def _r6d_to_rot_soa(x: jnp.ndarray) -> jnp.ndarray:
+    """Gram-Schmidt r6d -> rotation (reference angular.py:167-182) in the
+    lane-major layout: x [J, 6, N] -> [J, 3, 3, N]. The norm clamp matches
+    kinematics.rotation._safe_norm exactly."""
+    eps_sq = 1e-8 * 1e-8
+    v1, v2 = x[:, 0:3], x[:, 3:6]                                # [J, 3, N]
+    col0 = v1 / jnp.sqrt(jnp.maximum(
+        jnp.sum(v1 * v1, axis=1, keepdims=True), eps_sq))
+    v2 = v2 - jnp.sum(col0 * v2, axis=1, keepdims=True) * col0
+    col1 = v2 / jnp.sqrt(jnp.maximum(
+        jnp.sum(v2 * v2, axis=1, keepdims=True), eps_sq))
+    col2 = jnp.cross(col0, col1, axis=1)
+    return jnp.stack([col0, col1, col2], axis=2)                 # [J,3,3,N]
+
+
 def reduced_global_to_full_soa(reduced_r6d: jnp.ndarray,
                                body_model: ParametricModel) -> jnp.ndarray:
     """`reduced_global_to_full` in a structure-of-arrays layout: identical
@@ -140,18 +155,7 @@ def reduced_global_to_full_soa(reduced_r6d: jnp.ndarray,
     N = reduced_r6d.shape[0]
     dtype = reduced_r6d.dtype
     x = jnp.transpose(reduced_r6d.reshape(N, -1, 6), (1, 2, 0))  # [16, 6, N]
-
-    # Gram-Schmidt (reference angular.py:167-182), batched over lanes;
-    # the norm clamp matches kinematics.rotation._safe_norm exactly.
-    eps_sq = 1e-8 * 1e-8
-    v1, v2 = x[:, 0:3], x[:, 3:6]                                # [16, 3, N]
-    col0 = v1 / jnp.sqrt(jnp.maximum(
-        jnp.sum(v1 * v1, axis=1, keepdims=True), eps_sq))
-    v2 = v2 - jnp.sum(col0 * v2, axis=1, keepdims=True) * col0
-    col1 = v2 / jnp.sqrt(jnp.maximum(
-        jnp.sum(v2 * v2, axis=1, keepdims=True), eps_sq))
-    col2 = jnp.cross(col0, col1, axis=1)
-    rot = jnp.stack([col0, col1, col2], axis=2)                  # [16,3,3,N]
+    rot = _r6d_to_rot_soa(x)                                     # [16,3,3,N]
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[None, :, :, None],
                            (1, 3, 3, N))
@@ -170,6 +174,60 @@ def reduced_global_to_full_soa(reduced_r6d: jnp.ndarray,
     local = jnp.where(_IGNORED_MASK[..., None] > 0, eye_m, local)
     local = jnp.where(_ROOT_MASK[..., None] > 0, glob[0:1], local)
     return jnp.transpose(local, (3, 0, 1, 2))                    # [N,24,3,3]
+
+
+def _position_basis(body_model: ParametricModel):
+    """Precompute the linear map from the 16 reduced GLOBAL rotations to
+    the 24 joint positions, cached on the body.
+
+    Every joint position is a sum of rotated bone vectors up its ancestor
+    chain, and after the effective gather only the 16 reduced rotations
+    appear — so p[j, a] = sum_{r,b} W[(j,a),(r,a,b)] * R[r,a,b] + bone[0]
+    with W[(j,a),(r,a,b)] = sum of bone[i, b] over path joints i whose
+    rotating parent maps to reduced slot r. Returns (W [72, 144],
+    root_offset [3]).
+    """
+    if not hasattr(body_model, "_pos_basis_np"):
+        j0 = np.asarray(body_model._J, np.float32)
+        j0 = j0 - j0[:1]
+        parent = [0 if p < 0 else p for p in body_model.parent]
+        bone = j0 - j0[parent]
+        bone[0] = j0[0]
+        V = np.zeros((24, len(_REDUCED), 3), np.float32)
+        for j in range(24):
+            i = j
+            while i != 0:
+                V[j, _EFFECTIVE_GATHER_MAP[parent[i]]] += bone[i]
+                i = parent[i]
+        W = np.zeros((24, 3, len(_REDUCED), 3, 3), np.float32)
+        for a in range(3):
+            W[:, a, :, a, :] = V
+        body_model._pos_basis_np = (W.reshape(72, len(_REDUCED) * 9),
+                                    bone[0].copy())
+    return body_model._pos_basis_np
+
+
+def joint_positions_from_r6d_soa(reduced_r6d: jnp.ndarray,
+                                 body_model: ParametricModel) -> jnp.ndarray:
+    """Joint positions [N, 72] straight from reduced r6d [N, 96] — the
+    whole effective-gather + rotate-bones + tree-prefix-add pipeline
+    collapsed into one [72, 144] @ [144, N] matmul over a precomputed
+    bone basis (_position_basis), with the batch in the lane axis.
+
+    Matches reduced_r6d_to_global(effective=True) followed by
+    joint_positions_from_global at ~1e-6 (pinned by tests/test_net.py).
+    This is the training position loss's hot path (reference poser.py:95):
+    the AoS formulation cost 3.8 ms of a 24.4 ms poser train step at
+    B=256, T=125 on v5e-1.
+    """
+    N = reduced_r6d.shape[0]
+    x = jnp.transpose(reduced_r6d.reshape(N, -1, 6), (1, 2, 0))  # [16, 6, N]
+    rot = _r6d_to_rot_soa(x)                                     # [16,3,3,N]
+    W, root_off = _position_basis(body_model)
+    with jax.default_matmul_precision("float32"):
+        pos = W @ rot.reshape(-1, N)                             # [72, N]
+    pos = pos + jnp.tile(jnp.asarray(root_off, pos.dtype), 24)[:, None]
+    return jnp.transpose(pos, (1, 0))                            # [N, 72]
 
 
 def forward(params: dict, imu: jnp.ndarray, body_model: ParametricModel,

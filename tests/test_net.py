@@ -89,6 +89,34 @@ def test_reduced_global_to_full_soa_matches_reference_layout(body):
         np.asarray(reduced_global_to_full(r6d0, body)), atol=1e-6)
 
 
+def test_joint_positions_from_r6d_soa_matches_fk_path(body):
+    """The bone-basis matmul must reproduce effective-gather + rotate +
+    tree-prefix-add exactly, values AND gradients (it sits inside the
+    poser training loss)."""
+    from mobileposer_tpu.models.net import (joint_positions_from_r6d_soa,
+                                            reduced_r6d_to_global)
+    key = jax.random.PRNGKey(7)
+    N = 53
+    r6d = jax.random.normal(key, (N, 96))
+
+    def reference(r6d):
+        global_rot = reduced_r6d_to_global(r6d, effective=True)
+        return body.joint_positions_from_global(global_rot)
+
+    want = reference(r6d)
+    got = joint_positions_from_r6d_soa(r6d, body)
+    np.testing.assert_allclose(np.asarray(got).reshape(N, 72),
+                               np.asarray(want).reshape(N, 72), atol=1e-5)
+
+    tgt = jax.random.normal(jax.random.PRNGKey(8), (N, 72))
+    g_ref = jax.grad(lambda x: jnp.mean(
+        (reference(x).reshape(N, 72) - tgt) ** 2))(r6d)
+    g_soa = jax.grad(lambda x: jnp.mean(
+        (joint_positions_from_r6d_soa(x, body) - tgt) ** 2))(r6d)
+    np.testing.assert_allclose(np.asarray(g_soa), np.asarray(g_ref),
+                               atol=1e-5)
+
+
 def test_forward_shapes(params, body):
     B, T = 2, 7
     imu = jax.random.normal(jax.random.PRNGKey(2), (B, T, 60)) * 0.1
