@@ -179,12 +179,13 @@ T_WEIGHT = 1e-5  # temporal-loss weight (reference: joints.py:33, poser.py:36)
 
 
 def joints_loss(params, batch, rng, train: bool = True,
+                backend: str = "auto_train",
                 time_major: bool = False):
     """MSE + 1e-5 * 2nd-diff temporal L1 (reference: joints.py:54-75)."""
     imu, lengths, target_joints = batch["imu"], batch.get("lengths"), batch["joints"]
     drng = jax.random.fold_in(rng, 0)
     pred, _ = module_apply("joints", params, imu, lengths,
-                           train=train, dropout_rng=drng,
+                           train=train, dropout_rng=drng, backend=backend,
                            time_major=time_major)
     tgt = target_joints.reshape(pred.shape)
     return (masked_mse(pred, tgt, lengths, time_major)
@@ -192,6 +193,7 @@ def joints_loss(params, batch, rng, train: bool = True,
 
 
 def poser_loss(params, batch, rng, body_model=None, train: bool = True,
+               backend: str = "auto_train",
                time_major: bool = False):
     """r6d MSE + 1e-5 * jerk L1 + FK joint-position MSE
     (reference: poser.py:65-98). `body_model` enables the position loss."""
@@ -205,7 +207,7 @@ def poser_loss(params, batch, rng, body_model=None, train: bool = True,
     x = jnp.concatenate([noisy, imu], axis=-1)
     pred, _ = module_apply("poser", params, x, lengths, train=train,
                            dropout_rng=jax.random.fold_in(rng, 2),
-                           time_major=time_major)
+                           backend=backend, time_major=time_major)
     tgt = target_pose.reshape(A0, A1, 24, 6)[:, :, jnp.asarray(C.joint_set.reduced)]
     tgt = tgt.reshape(A0, A1, -1)
     loss = masked_mse(pred, tgt, lengths, time_major)
@@ -230,6 +232,7 @@ def poser_loss(params, batch, rng, body_model=None, train: bool = True,
 
 
 def footcontact_loss(params, batch, rng, train: bool = True,
+                     backend: str = "auto_train",
                      time_major: bool = False):
     """BCE-with-logits on [L, R] contact (reference: footcontact.py:43-72)."""
     imu, lengths = batch["imu"], batch.get("lengths")
@@ -239,6 +242,7 @@ def footcontact_loss(params, batch, rng, train: bool = True,
                               target_joints.shape) * NOISE_STD["footcontact"]
     x = jnp.concatenate([target_joints + noise, imu], axis=-1)
     pred, _ = module_apply("footcontact", params, x, lengths, train=train,
+                           backend=backend,
                            dropout_rng=jax.random.fold_in(rng, 4),
                            time_major=time_major)
     return bce_with_logits(pred, contacts.reshape(pred.shape), lengths,
@@ -246,6 +250,7 @@ def footcontact_loss(params, batch, rng, train: bool = True,
 
 
 def velocity_loss(params, batch, rng, train: bool = True,
+                  backend: str = "auto_train",
                   time_major: bool = False):
     """Multi-scale chunked MSE (reference: velocity.py:51-86)."""
     imu, lengths = batch["imu"], batch.get("lengths")
@@ -255,6 +260,7 @@ def velocity_loss(params, batch, rng, train: bool = True,
                               target_joints.shape) * NOISE_STD["velocity"]
     x = jnp.concatenate([target_joints + noise, imu], axis=-1)
     pred, _ = module_apply("velocity", params, x, lengths, train=train,
+                           backend=backend,
                            dropout_rng=jax.random.fold_in(rng, 6),
                            time_major=time_major)
     return multiscale_velocity_loss(pred, target_vel, lengths, time_major)

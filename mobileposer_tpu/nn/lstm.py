@@ -167,6 +167,20 @@ def _reverse_by_length(x: jnp.ndarray, lengths: Optional[jnp.ndarray]):
         x, src.reshape((T,) + (x.shape[1],) + (1,) * (x.ndim - 2)), axis=0)
 
 
+def resolve_train_backend(backend: str = "auto_train") -> str:
+    """'auto_train' -> the fused Pallas training kernels on TPU
+    (ops/lstm_train_pallas.py: measured 1.7x on a B=256 T=125 biLSTM grad
+    step on v5e-1), XLA elsewhere. Pass 'xla' explicitly for sharded
+    multi-chip train steps — pallas_call has no partitioning rule, so
+    GSPMD would replicate it."""
+    if backend != "auto_train":
+        return backend
+    try:
+        return "pallas_train" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 def _use_pallas(backend: str, bidirectional: bool, lengths) -> bool:
     """'auto' picks the pallas kernel where it measures faster on TPU:
     bidirectional full-length layers (see ops/lstm_pallas.py); ragged
@@ -201,7 +215,9 @@ def lstm_forward(params_layers, x: jnp.ndarray,
     h0c0:    optional initial state (h0, c0), each [n_layers*n_dir, B, H]
              stacked in torch order (layer0 fwd, layer0 bwd, layer1 fwd, ...)
     backend: 'xla' (lax.scan), 'pallas' (fused kernel, full-length only),
-             or 'auto' (pallas where it wins on TPU)
+             'auto' (pallas where it wins on TPU), 'pallas_train' (fused
+             fwd+bwd kernels with custom VJP — for grad paths; supports
+             masking), or 'auto_train' (pallas_train on TPU, else xla)
     time_major: keep inputs/outputs in [T, B, *] layout — composites that
              chain several RNN blocks avoid a transpose round-trip per block
              (measured ~4 ms per 256x45 window pass on v5e)
@@ -209,6 +225,14 @@ def lstm_forward(params_layers, x: jnp.ndarray,
     Returns (y [B, T, H*n_dir] (or [T, B, ...] if time_major),
     (h_T, c_T) stacked like h0c0).
     """
+    if backend == "auto_train":
+        backend = resolve_train_backend(backend)
+    if backend == "pallas_train":
+        from mobileposer_tpu.ops.lstm_train_pallas import (
+            lstm_forward_train_pallas)
+        return lstm_forward_train_pallas(params_layers, x, lengths, h0c0,
+                                         bidirectional=bidirectional,
+                                         time_major=time_major)
     if _use_pallas(backend, bidirectional, lengths):
         from mobileposer_tpu.ops.lstm_pallas import lstm_forward_pallas
         return lstm_forward_pallas(params_layers, x, h0c0,

@@ -50,16 +50,23 @@ def make_optimizer(module_name: str, lr: float) -> optax.GradientTransformation:
     return optax.adam(lr)
 
 
-def loss_fn_for(module_name: str, body_model=None) -> Callable:
+def loss_fn_for(module_name: str, body_model=None,
+                backend: str = "auto_train") -> Callable:
+    """Loss for one module. backend='auto_train' routes the LSTM through
+    the fused Pallas training kernels on TPU (nn.lstm.resolve_train_backend
+    — measured 1.7x on the grad step); pass 'xla' for sharded multi-chip
+    steps (pallas_call has no GSPMD partitioning rule)."""
+    import functools
     if module_name == "joints":
-        return M.joints_loss
+        return functools.partial(M.joints_loss, backend=backend)
     if module_name == "poser":
         return lambda p, b, r, train=True, time_major=False: M.poser_loss(
-            p, b, r, body_model=body_model, train=train, time_major=time_major)
+            p, b, r, body_model=body_model, train=train,
+            backend=backend, time_major=time_major)
     if module_name == "footcontact":
-        return M.footcontact_loss
+        return functools.partial(M.footcontact_loss, backend=backend)
     if module_name == "velocity":
-        return M.velocity_loss
+        return functools.partial(M.velocity_loss, backend=backend)
     raise ValueError(module_name)
 
 
@@ -70,16 +77,19 @@ def init_train_state(module_name: str, key: jax.Array, lr: float) -> TrainState:
 
 
 def make_train_step(module_name: str, lr: float, body_model=None,
-                    time_major: bool = False):
+                    time_major: bool = False, backend: str = "auto_train"):
     """Jitted, buffer-donated (state, batch, rng) -> (state, loss).
 
     time_major=True expects batch arrays laid out [T, B, ...] (lengths
     stays [B]): the LSTM core is time-major internally, so feeding
     time-major batches (a free host-side transpose in the input pipeline)
     skips the per-step [B,T]<->[T,B] transpose round-trip on device.
+
+    backend: see loss_fn_for — 'auto_train' (fused Pallas kernels on TPU)
+    or 'xla' (required for batch-sharded multi-device steps).
     """
     opt = make_optimizer(module_name, lr)
-    loss_fn = loss_fn_for(module_name, body_model)
+    loss_fn = loss_fn_for(module_name, body_model, backend=backend)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         def compute(params):
@@ -106,7 +116,9 @@ def make_train_step(module_name: str, lr: float, body_model=None,
 
 def make_eval_step(module_name: str, body_model=None,
                    time_major: bool = False):
-    loss_fn = loss_fn_for(module_name, body_model)
+    # validation stays on XLA: no gradients, so the training kernels'
+    # residual writes (acts + carry sequences) would be pure overhead
+    loss_fn = loss_fn_for(module_name, body_model, backend="xla")
     return jax.jit(lambda params, batch, rng: loss_fn(
         params, batch, rng, train=False, time_major=time_major))
 
@@ -247,7 +259,11 @@ class TrainingManager:
         n_dev = len(self.mesh.devices.flatten())
         state = state._replace(params=replicate_params(state.params, self.mesh))
 
-        train_step = make_train_step(module_name, h.lr, body_model)
+        # fused Pallas training kernels only single-device: a batch-sharded
+        # pallas_call has no GSPMD partitioning rule (it would replicate)
+        train_step = make_train_step(module_name, h.lr, body_model,
+                                     backend=("auto_train" if n_dev == 1
+                                              else "xla"))
         eval_step = make_eval_step(module_name, body_model)
 
         # deterministic sample-level split
