@@ -50,3 +50,25 @@ def test_rnn_apply_pallas_carried_state():
         chunks.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(chunks, 1), np.asarray(y_full),
                                atol=1e-5)
+
+
+def test_masked_layer_matches_scan():
+    """Masked inference kernel == the masked XLA scan: outputs zeroed past
+    each length, carry held, final state at the last valid frame."""
+    from mobileposer_tpu.nn.lstm import _lstm_scan, init_lstm_layer
+    from mobileposer_tpu.ops.lstm_pallas import lstm_layer_masked_pallas
+    T, B, D, H = 13, 4, 8, 8
+    p = init_lstm_layer(jax.random.PRNGKey(0), D, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, D))
+    x_proj = x @ p["w_ih"] + (p["b_ih"] + p["b_hh"])
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (B, H)) * 0.3
+    c0 = jax.random.normal(jax.random.PRNGKey(3), (B, H)) * 0.3
+    lengths = jnp.asarray([13, 5, 1, 9])
+    mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(x.dtype)
+
+    ys_x, (h_x, c_x) = _lstm_scan(x_proj, p["w_hh"], h0, c0, mask)
+    ys_p, (h_p, c_p) = lstm_layer_masked_pallas(x_proj, p["w_hh"], h0, c0,
+                                                mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x), atol=1e-6)
