@@ -253,6 +253,37 @@ def bench_carry_streaming(net, params, rtt):
             **_flops_fields(fps, cflops)}
 
 
+def bench_eval_batched(net, params, rtt):
+    """Dataset-evaluation throughput: a padded ragged batch of sequences
+    through the full 4-module forward (the shape _predict_offline_batched
+    runs: max_batch x 512-frame buckets with per-sequence lengths).
+    Ragged bidirectional layers route through the masked pallas kernel
+    under backend='auto' (measured 3.6x vs the masked XLA scan)."""
+    from mobileposer_tpu.models.net import forward
+    B, T, R = 64, 512, 5
+    rng = np.random.RandomState(9)
+    imu = jnp.asarray(rng.randn(B, T, 60), jnp.float32) * 0.1
+    lengths = jnp.asarray(rng.randint(T // 3, T + 1, B), jnp.int32)
+
+    @jax.jit
+    def run(params, imu):
+        def body(_, imu):
+            pose, joints, vel, contact, _ = forward(params, imu,
+                                                    net.body_model,
+                                                    lengths=lengths)
+            dep = (pose.sum() + joints.sum() + vel.sum() + contact.sum())
+            return imu + dep * 1e-12
+        return jax.lax.fori_loop(0, R, body, imu).sum()
+
+    wall = timed_fetch(run, params, imu, reps=3)
+    dt = max(wall - rtt, 1e-9) / R
+    valid = int(np.asarray(lengths).sum())
+    fps = valid / dt
+    return {"metric": "eval_batched_frames_per_sec", "value": round(fps, 1),
+            "unit": "valid frames/s", "batch": B, "bucket": T,
+            **_flops_fields(fps, forward_flops_per_frame())}
+
+
 def bench_carry_max_throughput(net, params, rtt):
     """Max-throughput serving config: carry mode, bf16, S=1024 streams
     (measured sweet spot — S=2048 plateaus, exact mode prefers S=256).
@@ -316,6 +347,7 @@ CONFIGS = {
     "stream_latency": bench_stream_latency,
     "carry_streaming": bench_carry_streaming,
     "carry_max_throughput": bench_carry_max_throughput,
+    "eval_batched": bench_eval_batched,
 }
 
 

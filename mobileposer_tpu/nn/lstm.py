@@ -185,8 +185,10 @@ def _use_pallas(backend: str, bidirectional: bool, lengths) -> bool:
     """'auto' picks the pallas kernels where they measure faster on TPU:
     bidirectional layers — full-length via ops/lstm_pallas.py's fused
     bilstm kernel, ragged batches via the masked single-direction kernel
-    (2.8x+ vs the masked XLA scan at B=64, T=512). Unidirectional scans
-    stay on the XLA path ('auto')."""
+    (bi 3.6x, uni 4.6x vs the masked XLA scan at B=64, T=512 — the
+    masked XLA scan pays extra where-ops per step, so the kernel wins
+    even unidirectionally there). Full-length UNIdirectional scans are
+    the one case XLA wins; they stay on the XLA path under 'auto'."""
     if backend == "pallas":
         return True
     if backend != "auto":
@@ -195,7 +197,7 @@ def _use_pallas(backend: str, bidirectional: bool, lengths) -> bool:
         is_tpu = jax.default_backend() == "tpu"
     except Exception:
         is_tpu = False
-    return is_tpu and bidirectional
+    return is_tpu and (bidirectional or lengths is not None)
 
 
 def lstm_forward(params_layers, x: jnp.ndarray,
