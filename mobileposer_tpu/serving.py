@@ -37,7 +37,6 @@ from jax import export as jx
 
 from mobileposer_tpu.models.net import MobilePoserNet
 from mobileposer_tpu.models.streaming import BiCarry, CarryState, JointsCarry
-from mobileposer_tpu.nn.torch_convert import export_to_npz, load_from_npz
 
 _STEP_FILE = "step.jaxexport"
 _WEIGHTS_FILE = "weights.npz"
@@ -45,6 +44,67 @@ _STATE_FILE = "state.npz"
 _META_FILE = "meta.json"
 
 _registered = False
+
+
+# np.savez round-trips bfloat16 (an ml_dtypes extension dtype) as raw |V2
+# void arrays that jnp.asarray rejects — bundles store bf16 leaves as
+# uint16 bit patterns plus a dtype manifest instead.
+
+def _savez_typed(path, flat: dict) -> None:
+    dtypes = {}
+    arrays = {}
+    for key, val in flat.items():
+        val = np.asarray(val)
+        dtypes[key] = str(val.dtype)
+        if val.dtype == jnp.bfloat16:
+            val = val.view(np.uint16)
+        arrays[key] = val
+    np.savez(path, __dtypes__=json.dumps(dtypes), **arrays)
+
+
+def _loadz_typed(path) -> dict:
+    z = np.load(path)
+    dtypes = json.loads(str(z["__dtypes__"]))
+    out = {}
+    for key, dt in dtypes.items():
+        val = z[key]
+        if dt == "bfloat16":
+            val = val.view(jnp.bfloat16.dtype)
+        out[key] = val
+    return out
+
+
+def _flatten_params(params, key=""):
+    flat = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            flat.update(_flatten_params(v, f"{key}/{k}" if key else k))
+    elif isinstance(params, (list, tuple)):
+        for i, v in enumerate(params):
+            flat.update(_flatten_params(v, f"{key}/{i}"))
+    else:
+        flat[key] = np.asarray(params)
+    return flat
+
+
+def _unflatten_params(flat: dict):
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)
 
 
 def _register_state_serialization() -> None:
@@ -63,9 +123,13 @@ def _register_state_serialization() -> None:
 
 
 def _spec(tree):
-    return jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype),
-        tree)
+    # read shape/dtype host-side: jnp.asarray here would transfer every
+    # weight leaf to the device just to inspect it (~30 ms RTT each on
+    # tunneled transports — CLAUDE.md)
+    def leaf_spec(x):
+        dtype = getattr(x, "dtype", None) or np.asarray(x).dtype
+        return jax.ShapeDtypeStruct(np.shape(x), jnp.dtype(dtype))
+    return jax.tree_util.tree_map(leaf_spec, tree)
 
 
 def _fresh_state(net: MobilePoserNet, n_streams: int, mode: str, dtype):
@@ -78,8 +142,8 @@ def _fresh_state(net: MobilePoserNet, n_streams: int, mode: str, dtype):
 
 def export_streaming_step(net: MobilePoserNet, params: dict, n_streams: int,
                           mode: str = "carry", dtype=jnp.float32,
-                          platforms: Tuple[str, ...] = ("tpu", "cpu")
-                          ) -> "jx.Exported":
+                          platforms: Tuple[str, ...] = ("tpu", "cpu"),
+                          state=None) -> "jx.Exported":
     """AOT-export one batched streaming step.
 
     The exported function has the same signature as the live one:
@@ -87,7 +151,8 @@ def export_streaming_step(net: MobilePoserNet, params: dict, n_streams: int,
     new_state). Body-model constants are baked into the artifact.
     """
     _register_state_serialization()
-    state = _fresh_state(net, n_streams, mode, dtype)
+    if state is None:
+        state = _fresh_state(net, n_streams, mode, dtype)
     step = (net.forward_carry_batched if mode == "carry"
             else net.forward_online_batched)
     frames = jax.ShapeDtypeStruct((n_streams, 60), jnp.dtype(dtype))
@@ -97,8 +162,8 @@ def export_streaming_step(net: MobilePoserNet, params: dict, n_streams: int,
 
 def _save_state_npz(path, state) -> None:
     leaves = jax.tree_util.tree_leaves(state)
-    np.savez(path, **{f"leaf_{i}": np.asarray(l)
-                      for i, l in enumerate(leaves)})
+    _savez_typed(path, {f"leaf_{i}": np.asarray(l)
+                        for i, l in enumerate(leaves)})
 
 
 def _state_treedef(mode: str):
@@ -114,8 +179,8 @@ def _state_treedef(mode: str):
 
 
 def _load_state_npz(path, mode: str):
-    z = np.load(path)
-    leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    flat = _loadz_typed(path)
+    leaves = [flat[f"leaf_{i}"] for i in range(len(flat))]
     return jax.tree_util.tree_unflatten(_state_treedef(mode), leaves)
 
 
@@ -126,12 +191,12 @@ def save_bundle(directory, net: MobilePoserNet, params: dict,
     fresh state + metadata."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
+    state = _fresh_state(net, n_streams, mode, dtype)
     exported = export_streaming_step(net, params, n_streams, mode, dtype,
-                                     platforms)
+                                     platforms, state=state)
     (directory / _STEP_FILE).write_bytes(exported.serialize())
-    export_to_npz(params, directory / _WEIGHTS_FILE)
-    _save_state_npz(directory / _STATE_FILE,
-                    _fresh_state(net, n_streams, mode, dtype))
+    _savez_typed(directory / _WEIGHTS_FILE, _flatten_params(params))
+    _save_state_npz(directory / _STATE_FILE, state)
     (directory / _META_FILE).write_text(json.dumps({
         "mode": mode,
         "n_streams": n_streams,
@@ -151,7 +216,7 @@ def load_bundle(directory):
     directory = Path(directory)
     meta = json.loads((directory / _META_FILE).read_text())
     exported = jx.deserialize((directory / _STEP_FILE).read_bytes())
-    params = load_from_npz(directory / _WEIGHTS_FILE)
+    params = _unflatten_params(_loadz_typed(directory / _WEIGHTS_FILE))
     state = _load_state_npz(directory / _STATE_FILE, meta["mode"])
 
     def step(params, state, frames):

@@ -73,6 +73,30 @@ def test_bundle_round_trip(net, params, tmp_path):
         _tree_allclose(out_aot, out_live, atol=1e-6)
 
 
+def test_bf16_bundle_round_trip(net, params, tmp_path):
+    """bf16 bundles must survive the npz round trip: numpy saves ml_dtypes
+    bfloat16 as raw void arrays, so leaves ride as uint16 bit patterns
+    with a dtype manifest."""
+    from mobileposer_tpu.nn import cast_params
+    S = 2
+    params_bf = cast_params(params, jnp.bfloat16)
+    save_bundle(tmp_path / "b16", net, params_bf, n_streams=S, mode="carry",
+                dtype=jnp.bfloat16, platforms=("cpu",))
+    step, p, st, meta = load_bundle(tmp_path / "b16")
+    assert meta["dtype"] == "bfloat16"
+    assert jnp.dtype(p["joints"]["linear1"]["w"].dtype) == jnp.bfloat16
+    assert jnp.dtype(st.imu_ring.dtype) == jnp.bfloat16
+    assert jnp.dtype(st.last_root_pos.dtype) == jnp.float32  # accumulators
+    frames = np.zeros((S, 60), np.dtype(str(jnp.dtype(jnp.bfloat16))))
+    (pose, joints, root, contact), st2 = step(p, st, frames)
+    assert np.isfinite(np.asarray(pose, np.float32)).all()
+    # and the reloaded weights equal the originals bit-for-bit
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(params_bf)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
 def test_export_cli_smoke(tmp_path):
     from mobileposer_tpu.cli.export_serving import main
     main(["--out", str(tmp_path / "bundle"), "--streams", "2",
