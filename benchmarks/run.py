@@ -253,6 +253,36 @@ def bench_carry_streaming(net, params, rtt):
             **_flops_fields(fps, cflops)}
 
 
+def bench_datagen(net, params, rtt):
+    """Config 5 support: AMASS virtual-IMU synthesis throughput (the
+    reference's per-frame Python loops in process.py:23-46 as one jitted
+    on-device pipeline: FK + 6890-vertex LBS + accel stencil + contacts).
+    Uses the same body the rest of the matrix runs (synthetic fixture when
+    the SMPL blob is absent — vertex count matches whatever is loaded)."""
+    from mobileposer_tpu.data.synthesis import synthesize_virtual_imu
+    T, R = 1024, 5
+    rng = np.random.RandomState(11)
+    aa = jnp.asarray(rng.randn(T, 24, 3) * 0.2, jnp.float32)
+    from mobileposer_tpu.kinematics import rotation as Rt
+    pose0 = Rt.axis_angle_to_rotation_matrix(aa.reshape(-1, 3)).reshape(
+        T, 24, 3, 3)
+
+    @jax.jit
+    def run(pose):
+        def body(_, pose):
+            out = synthesize_virtual_imu(net.body_model, pose)
+            dep = (out["joint"].sum() + out["vacc"].sum()
+                   + out["vrot"].sum() + out["contact"].sum())
+            return pose + dep * 1e-12
+        return jax.lax.fori_loop(0, R, body, pose).sum()
+
+    wall = timed_fetch(run, pose0, reps=3)
+    dt = max(wall - rtt, 1e-9) / R
+    return {"metric": "datagen_frames_per_sec", "value": round(T / dt, 1),
+            "unit": "frames/s", "seq_len": T,
+            "num_vertices": net.body_model.num_vertices}
+
+
 def bench_eval_batched(net, params, rtt):
     """Dataset-evaluation throughput: a padded ragged batch of sequences
     through the full 4-module forward (the shape _predict_offline_batched
@@ -348,6 +378,7 @@ CONFIGS = {
     "carry_streaming": bench_carry_streaming,
     "carry_max_throughput": bench_carry_max_throughput,
     "eval_batched": bench_eval_batched,
+    "datagen": bench_datagen,
 }
 
 
