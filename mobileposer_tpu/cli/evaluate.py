@@ -21,7 +21,11 @@ def main(argv=None) -> None:
     parser.add_argument("--model", required=True,
                         help="combined weights (.npz or torch checkpoint)")
     parser.add_argument("--dataset", default="dip",
-                        choices=list(C.datasets.test_datasets.keys()))
+                        choices=list(C.datasets.test_datasets.keys())
+                        + ["synthetic"],
+                        help="'synthetic' evaluates against the fixture "
+                             "written by `process --dataset synthetic` — "
+                             "the blob-free end-to-end recipe check")
     parser.add_argument("--combo", default="lw_rp",
                         choices=list(C.COMBOS.keys()))
     parser.add_argument("--online", action="store_true",
@@ -40,7 +44,12 @@ def main(argv=None) -> None:
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
     params = load_model(args.model)
     net = MobilePoserNet(body)
-    ds = PoseDataset(fold="test", evaluate=args.dataset, body_model=body)
+    if args.dataset == "synthetic":
+        ds = PoseDataset(
+            fold="test", evaluate="dip", body_model=body,
+            data_files=[C.paths.processed_datasets / "synthetic.pt"])
+    else:
+        ds = PoseDataset(fold="test", evaluate=args.dataset, body_model=body)
     view = EvalSequence(ds, combo=args.combo)
     from mobileposer_tpu.utils.helpers import getenv_flag
     evaluate_pose(net, params, view,

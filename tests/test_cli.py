@@ -68,6 +68,11 @@ def test_cli_evaluate(workspace, datasets, body, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "SIP Error (deg)" in out
     assert "offline" in out
+    # --dataset synthetic closes the blob-free recipe loop: it evaluates
+    # against the fixture `process --dataset synthetic` writes
+    eval_cli.main(["--model", str(workspace / "ckpt" / "base_model.npz"),
+                   "--dataset", "synthetic"])
+    assert "SIP Error (deg)" in capsys.readouterr().out
 
 
 def test_cli_example(workspace, datasets, body, monkeypatch):
