@@ -44,6 +44,7 @@ from mobileposer_tpu.kinematics.smpl import (  # noqa: F401
     NUM_JOINTS,
     NUM_VERTICES,
     SMPL_PARENTS,
+    SMPLJoint,
     ParametricModel,
     load_smpl_arrays,
     synthetic_smpl_arrays,

@@ -14,6 +14,7 @@ benchmarks; real-file loading goes through the same interface.
 
 from __future__ import annotations
 
+import enum
 import os
 import pickle
 from typing import Optional, Sequence, Tuple
@@ -33,6 +34,39 @@ SMPL_PARENTS: Tuple[int, ...] = (
 
 NUM_JOINTS = 24
 NUM_VERTICES = 6890  # reference: constants.py:33
+
+
+class SMPLJoint(enum.IntEnum):
+    """Named SMPL joint indices (standard model convention; reference
+    surface: articulate/armature.py:35-64 — used there only as the
+    `align_joint` vocabulary of the evaluator). L/R prefixes are
+    left/right; aliases share an index like the standard armature."""
+    ROOT = 0
+    PELVIS = 0
+    SPINE = 0  # reference armature aliases SPINE to the root as well
+    LHIP = 1
+    RHIP = 2
+    SPINE1 = 3
+    LKNEE = 4
+    RKNEE = 5
+    SPINE2 = 6
+    LANKLE = 7
+    RANKLE = 8
+    SPINE3 = 9
+    LFOOT = 10
+    RFOOT = 11
+    NECK = 12
+    LCLAVICLE = 13
+    RCLAVICLE = 14
+    HEAD = 15
+    LSHOULDER = 16
+    RSHOULDER = 17
+    LELBOW = 18
+    RELBOW = 19
+    LWRIST = 20
+    RWRIST = 21
+    LHAND = 22
+    RHAND = 23
 
 
 class _ChumpyShim:

@@ -212,3 +212,15 @@ class TestPositionsFromGlobal:
         joints_fast = body.joint_positions_from_global(eff)
         np.testing.assert_allclose(np.asarray(joints_fast),
                                    np.asarray(joints_ref), atol=1e-5)
+
+
+def test_smpl_joint_enum():
+    """Named SMPL joint vocabulary (reference armature.py:35-64): IntEnum
+    members slot in anywhere an index does (e.g. evaluator align_joint)."""
+    from mobileposer_tpu.kinematics import NUM_JOINTS, SMPL_PARENTS, SMPLJoint
+    assert SMPLJoint.ROOT == 0 and SMPLJoint.PELVIS == 0
+    assert SMPLJoint.LFOOT == 10 and SMPLJoint.RFOOT == 11
+    assert SMPLJoint.RHAND == NUM_JOINTS - 1
+    # feet hang off the knees' chains via the ankles
+    assert SMPL_PARENTS[SMPLJoint.LFOOT] == SMPLJoint.LANKLE
+    assert int(SMPLJoint.HEAD) == 15  # usable as a plain index
