@@ -92,7 +92,9 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, lengths=None,
     m = _length_mask(pred, lengths, time_major)
     if m is None:
         return jnp.mean(err)
-    return jnp.sum(err * m) / (jnp.sum(m) * err.shape[-1])
+    # guard: a fully-padded (sub)batch — e.g. one shard of a shard_map DP
+    # step after pad_batch_to_multiple — must yield loss 0, not 0/0 NaN
+    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m) * err.shape[-1], 1.0)
 
 
 def temporal_smoothness_loss(pred: jnp.ndarray, order: int = 2,
@@ -121,7 +123,7 @@ def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray,
     m = _length_mask(logits, lengths, time_major)
     if m is None:
         return jnp.mean(per)
-    return jnp.sum(per * m) / (jnp.sum(m) * per.shape[-1])
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m) * per.shape[-1], 1.0)
 
 
 def multiscale_velocity_loss(pred: jnp.ndarray, target: jnp.ndarray,

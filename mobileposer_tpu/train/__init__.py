@@ -12,6 +12,7 @@ from mobileposer_tpu.train.trainer import (  # noqa: F401
     load_combined_weights,
     make_eval_step,
     make_optimizer,
+    make_shard_map_train_step,
     make_train_step,
     restore_training_state,
     save_training_state,

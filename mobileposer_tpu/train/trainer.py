@@ -114,6 +114,62 @@ def make_train_step(module_name: str, lr: float, body_model=None,
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_shard_map_train_step(module_name: str, lr: float, mesh,
+                              body_model=None, backend: str = "auto_train"):
+    """Explicitly-partitioned data-parallel train step via jax.shard_map.
+
+    The GSPMD path (make_train_step + sharded inputs) lets XLA partition
+    the program — which cannot partition a pallas_call, so sharded steps
+    fall back to backend='xla'. Here each device instead runs the WHOLE
+    per-shard program manually (params replicated, batch sharded on dim 0)
+    — pallas kernels see only local arrays, so the fused training kernels
+    (ops/lstm_train_pallas.py) compose with multi-chip data parallelism;
+    gradients and the loss are psum-averaged over the mesh and the
+    optimizer update is computed identically on every device.
+
+    Loss semantics: the mean of per-shard losses. Identical to the global
+    loss for equal per-shard valid-frame counts (always true for
+    full-length windows, the training common case); for ragged batches the
+    masked normalization weights shards slightly differently than the
+    global mean — use the GSPMD step where bit-equality with single-device
+    training matters more than kernel speed.
+
+    Batch layout is batch-major ([B, T, ...], lengths [B]); B must divide
+    the mesh size (pad_batch_to_multiple).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from mobileposer_tpu.parallel.mesh import DATA_AXIS
+
+    opt = make_optimizer(module_name, lr)
+    loss_fn = loss_fn_for(module_name, body_model, backend=backend)
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        def compute(params):
+            return loss_fn(params, batch, rng, train=True)
+
+        loss, grads = jax.value_and_grad(compute)(state.params)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        grads_ok = jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+            jnp.asarray(True))
+        ok = jnp.isfinite(loss) & grads_ok
+        params, opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old),
+            (params, opt_state), (state.params, state.opt_state))
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def make_eval_step(module_name: str, body_model=None,
                    time_major: bool = False):
     # validation stays on XLA: no gradients, so the training kernels'
@@ -218,11 +274,21 @@ class TrainingManager:
 
     def __init__(self, finetune: Optional[str] = None,
                  fast_dev_run: bool = False, mesh=None,
-                 hypers: Optional[C.TrainHypers] = None):
+                 hypers: Optional[C.TrainHypers] = None,
+                 dp_impl: str = "gspmd"):
+        """dp_impl: 'gspmd' (default — XLA-partitioned step, exact
+        sharded-vs-single agreement, XLA kernels when the mesh spans >1
+        device) or 'shard_map' (explicitly partitioned per-device step —
+        keeps the fused Pallas training kernels on multi-chip meshes;
+        per-shard masked-loss weighting, see make_shard_map_train_step)."""
+        if dp_impl not in ("gspmd", "shard_map"):
+            raise ValueError(f"dp_impl must be 'gspmd' or 'shard_map', "
+                             f"got {dp_impl!r}")
         self.finetune = finetune
         self.fast_dev_run = fast_dev_run
         self.hypers = hypers or (C.finetune_hypers if finetune else C.train_hypers)
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.dp_impl = dp_impl
 
     def train_module(self, module_name: str, dataset, checkpoint_path,
                      init_params: Optional[dict] = None,
@@ -259,11 +325,18 @@ class TrainingManager:
         n_dev = len(self.mesh.devices.flatten())
         state = state._replace(params=replicate_params(state.params, self.mesh))
 
-        # fused Pallas training kernels only single-device: a batch-sharded
-        # pallas_call has no GSPMD partitioning rule (it would replicate)
-        train_step = make_train_step(module_name, h.lr, body_model,
-                                     backend=("auto_train" if n_dev == 1
-                                              else "xla"))
+        if self.dp_impl == "shard_map" and n_dev > 1:
+            # explicitly-partitioned DP: keeps the fused Pallas training
+            # kernels on multi-chip meshes (GSPMD cannot partition a
+            # pallas_call)
+            train_step = make_shard_map_train_step(
+                module_name, h.lr, self.mesh, body_model)
+        else:
+            # GSPMD step; fused kernels only single-device there (a
+            # batch-sharded pallas_call would be replicated by GSPMD)
+            train_step = make_train_step(module_name, h.lr, body_model,
+                                         backend=("auto_train" if n_dev == 1
+                                                  else "xla"))
         eval_step = make_eval_step(module_name, body_model)
 
         # deterministic sample-level split
