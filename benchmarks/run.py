@@ -262,10 +262,12 @@ def bench_datagen(net, params, rtt):
     from mobileposer_tpu.data.synthesis import synthesize_virtual_imu
     T, R = 1024, 5
     rng = np.random.RandomState(11)
-    aa = jnp.asarray(rng.randn(T, 24, 3) * 0.2, jnp.float32)
+    aa = rng.randn(T, 24, 3).astype(np.float32) * 0.2
     from mobileposer_tpu.kinematics import rotation as Rt
-    pose0 = Rt.axis_angle_to_rotation_matrix(aa.reshape(-1, 3)).reshape(
-        T, 24, 3, 3)
+    # fixture synthesis under jit (eager device math over the tunnel pays
+    # a remote compile per op — CLAUDE.md)
+    pose0 = jax.jit(lambda a: Rt.axis_angle_to_rotation_matrix(
+        a.reshape(-1, 3)).reshape(T, 24, 3, 3))(aa)
 
     @jax.jit
     def run(pose):

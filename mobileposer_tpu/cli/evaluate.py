@@ -45,9 +45,14 @@ def main(argv=None) -> None:
     params = load_model(args.model)
     net = MobilePoserNet(body)
     if args.dataset == "synthetic":
-        ds = PoseDataset(
-            fold="test", evaluate="dip", body_model=body,
-            data_files=[C.paths.processed_datasets / "synthetic.pt"])
+        fixture = C.paths.processed_datasets / "synthetic.pt"
+        if not fixture.exists():
+            raise SystemExit(
+                f"{fixture} not found — run "
+                f"`python -m mobileposer_tpu.cli.process --dataset "
+                f"synthetic` first")
+        ds = PoseDataset(fold="test", evaluate="dip", body_model=body,
+                         data_files=[fixture])
     else:
         ds = PoseDataset(fold="test", evaluate=args.dataset, body_model=body)
     view = EvalSequence(ds, combo=args.combo)

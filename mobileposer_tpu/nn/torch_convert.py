@@ -97,7 +97,12 @@ def cast_params(params, dtype):
 
 
 def export_to_npz(params: dict, path: str) -> None:
-    """Flatten a converted params pytree into an .npz (torch-free reload)."""
+    """Flatten a converted params pytree into an .npz (torch-free reload).
+
+    Extension dtypes (bfloat16) survive via utils.io.savez_typed — plain
+    np.savez would degrade them to raw void arrays on reload."""
+    from mobileposer_tpu.utils.io import savez_typed
+
     flat = {}
 
     def walk(node, key):
@@ -111,12 +116,15 @@ def export_to_npz(params: dict, path: str) -> None:
             flat[key] = np.asarray(node)
 
     walk(params, "")
-    np.savez(path, **flat)
+    savez_typed(path, flat)
 
 
 def load_from_npz(path: str) -> dict:
-    """Inverse of export_to_npz (list indices are restored as lists)."""
-    flat = dict(np.load(path))
+    """Inverse of export_to_npz (list indices are restored as lists);
+    reads both manifest-typed and legacy plain archives."""
+    from mobileposer_tpu.utils.io import loadz_typed
+
+    flat = loadz_typed(path)
     root: dict = {}
     for key, val in flat.items():
         parts = key.split("/")

@@ -37,6 +37,8 @@ from jax import export as jx
 
 from mobileposer_tpu.models.net import MobilePoserNet
 from mobileposer_tpu.models.streaming import BiCarry, CarryState, JointsCarry
+from mobileposer_tpu.nn.torch_convert import export_to_npz, load_from_npz
+from mobileposer_tpu.utils.io import loadz_typed, savez_typed
 
 _STEP_FILE = "step.jaxexport"
 _WEIGHTS_FILE = "weights.npz"
@@ -44,67 +46,6 @@ _STATE_FILE = "state.npz"
 _META_FILE = "meta.json"
 
 _registered = False
-
-
-# np.savez round-trips bfloat16 (an ml_dtypes extension dtype) as raw |V2
-# void arrays that jnp.asarray rejects — bundles store bf16 leaves as
-# uint16 bit patterns plus a dtype manifest instead.
-
-def _savez_typed(path, flat: dict) -> None:
-    dtypes = {}
-    arrays = {}
-    for key, val in flat.items():
-        val = np.asarray(val)
-        dtypes[key] = str(val.dtype)
-        if val.dtype == jnp.bfloat16:
-            val = val.view(np.uint16)
-        arrays[key] = val
-    np.savez(path, __dtypes__=json.dumps(dtypes), **arrays)
-
-
-def _loadz_typed(path) -> dict:
-    z = np.load(path)
-    dtypes = json.loads(str(z["__dtypes__"]))
-    out = {}
-    for key, dt in dtypes.items():
-        val = z[key]
-        if dt == "bfloat16":
-            val = val.view(jnp.bfloat16.dtype)
-        out[key] = val
-    return out
-
-
-def _flatten_params(params, key=""):
-    flat = {}
-    if isinstance(params, dict):
-        for k, v in params.items():
-            flat.update(_flatten_params(v, f"{key}/{k}" if key else k))
-    elif isinstance(params, (list, tuple)):
-        for i, v in enumerate(params):
-            flat.update(_flatten_params(v, f"{key}/{i}"))
-    else:
-        flat[key] = np.asarray(params)
-    return flat
-
-
-def _unflatten_params(flat: dict):
-    root: dict = {}
-    for key, val in flat.items():
-        parts = key.split("/")
-        node = root
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = val
-
-    def listify(node):
-        if isinstance(node, dict):
-            keys = list(node.keys())
-            if keys and all(k.isdigit() for k in keys):
-                return [listify(node[str(i)]) for i in range(len(keys))]
-            return {k: listify(v) for k, v in node.items()}
-        return node
-
-    return listify(root)
 
 
 def _register_state_serialization() -> None:
@@ -162,7 +103,7 @@ def export_streaming_step(net: MobilePoserNet, params: dict, n_streams: int,
 
 def _save_state_npz(path, state) -> None:
     leaves = jax.tree_util.tree_leaves(state)
-    _savez_typed(path, {f"leaf_{i}": np.asarray(l)
+    savez_typed(path, {f"leaf_{i}": np.asarray(l)
                         for i, l in enumerate(leaves)})
 
 
@@ -179,7 +120,7 @@ def _state_treedef(mode: str):
 
 
 def _load_state_npz(path, mode: str):
-    flat = _loadz_typed(path)
+    flat = loadz_typed(path)
     leaves = [flat[f"leaf_{i}"] for i in range(len(flat))]
     return jax.tree_util.tree_unflatten(_state_treedef(mode), leaves)
 
@@ -195,7 +136,7 @@ def save_bundle(directory, net: MobilePoserNet, params: dict,
     exported = export_streaming_step(net, params, n_streams, mode, dtype,
                                      platforms, state=state)
     (directory / _STEP_FILE).write_bytes(exported.serialize())
-    _savez_typed(directory / _WEIGHTS_FILE, _flatten_params(params))
+    export_to_npz(params, directory / _WEIGHTS_FILE)
     _save_state_npz(directory / _STATE_FILE, state)
     (directory / _META_FILE).write_text(json.dumps({
         "mode": mode,
@@ -203,7 +144,7 @@ def save_bundle(directory, net: MobilePoserNet, params: dict,
         "dtype": str(jnp.dtype(dtype)),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
-        "format": "jax.export StableHLO v1",
+        "format": "jax.export StableHLO v2 (typed npz)",
     }, indent=2))
     return directory
 
@@ -216,7 +157,7 @@ def load_bundle(directory):
     directory = Path(directory)
     meta = json.loads((directory / _META_FILE).read_text())
     exported = jx.deserialize((directory / _STEP_FILE).read_bytes())
-    params = _unflatten_params(_loadz_typed(directory / _WEIGHTS_FILE))
+    params = load_from_npz(directory / _WEIGHTS_FILE)
     state = _load_state_npz(directory / _STATE_FILE, meta["mode"])
 
     def step(params, state, frames):

@@ -131,11 +131,12 @@ def make_shard_map_train_step(module_name: str, lr: float, mesh,
     loss for equal per-shard valid-frame counts (always true for
     full-length windows, the training common case); for ragged batches the
     masked normalization weights shards slightly differently than the
-    global mean — use the GSPMD step where bit-equality with single-device
+    global mean, and the noise/dropout draw geometry is per-shard rather
+    than global — use the GSPMD step where bit-equality with single-device
     training matters more than kernel speed.
 
-    Batch layout is batch-major ([B, T, ...], lengths [B]); B must divide
-    the mesh size (pad_batch_to_multiple).
+    Batch layout is batch-major ([B, T, ...], lengths [B]); the mesh size
+    must divide B (pad_batch_to_multiple).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -145,6 +146,11 @@ def make_shard_map_train_step(module_name: str, lr: float, mesh,
     loss_fn = loss_fn_for(module_name, body_model, backend=backend)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
+        # distinct augmentation noise / dropout per shard: without the
+        # fold, every device would draw the identical [B/n, ...] noise
+        # tensor for its rows (n_dev-fold duplicated augmentation)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
         def compute(params):
             return loss_fn(params, batch, rng, train=True)
 
@@ -234,10 +240,12 @@ def get_best_checkpoint(directory) -> Optional[Path]:
 def save_training_state(path, module_name: str, state: TrainState,
                         epoch: int) -> Path:
     """Persist params + optimizer state + counters for exact resume."""
+    from mobileposer_tpu.utils.io import savez_typed
     leaves, _ = jax.tree_util.tree_flatten(
         (state.params, state.opt_state, state.step))
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    np.savez(path, __module__=module_name, __epoch__=epoch, **arrays)
+    savez_typed(path, {"__module__": module_name, "__epoch__": epoch,
+                       **arrays})
     return Path(path)
 
 
@@ -245,13 +253,14 @@ def restore_training_state(path, lr: float):
     """Restore (TrainState, next_epoch). The tree structure comes from a
     fresh init of the same module, so restores survive refactors of array
     contents but not of structure."""
-    z = np.load(path, allow_pickle=True)
+    from mobileposer_tpu.utils.io import loadz_typed
+    z = loadz_typed(path)
     module_name = str(z["__module__"])
     epoch = int(z["__epoch__"])
     template = init_train_state(module_name, jax.random.PRNGKey(0), lr)
     _, treedef = jax.tree_util.tree_flatten(
         (template.params, template.opt_state, template.step))
-    n = len([k for k in z.files if k.startswith("leaf_")])
+    n = len([k for k in z if k.startswith("leaf_")])
     leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
     params, opt_state, step = jax.tree_util.tree_unflatten(treedef, leaves)
     return TrainState(params, opt_state, step), module_name, epoch + 1

@@ -10,6 +10,31 @@ from __future__ import annotations
 import os
 
 
+def host_cache_dir(prefix: str = "/tmp/jax_cache") -> str:
+    """Per-host-CPU-generation JAX compile-cache directory.
+
+    XLA:CPU AOT cache entries compiled on a different machine generation
+    load with "could lead to SIGILL" warnings when /tmp outlives a host
+    change; keying the directory by the host's cpuinfo feature flags keeps
+    each generation's cache separate. Single implementation shared by
+    tests/conftest.py and __graft_entry__.py."""
+    import hashlib
+    import platform
+
+    tag = hashlib.sha1((platform.machine()
+                        + platform.processor()).encode()).hexdigest()[:10]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                # x86 reports "flags", aarch64 "Features"
+                if line.startswith(("flags", "Features")):
+                    tag = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    return f"{prefix}_{tag}"
+
+
 def getenv_flag(name: str, default: bool = False) -> bool:
     v = os.environ.get(name)
     if v is None or v == "":

@@ -21,30 +21,12 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compile cache: the suite is compile-bound on this 1-core host;
 # caching compiled programs across runs cuts repeat wall time substantially.
-# The directory is keyed by the host CPU's feature set: XLA:CPU AOT results
-# compiled on a different machine generation load with "could lead to
-# SIGILL" warnings when /tmp survives a host change.
-import hashlib
-import platform
+# Keyed by host CPU features (utils.helpers.host_cache_dir): XLA:CPU AOT
+# results compiled on a different machine generation load with "could lead
+# to SIGILL" warnings when /tmp survives a host change.
+from mobileposer_tpu.utils.helpers import host_cache_dir  # noqa: E402
 
-
-def _host_cache_dir() -> str:
-    tag = hashlib.sha1(
-        (platform.machine() + platform.processor()
-         + str(os.sched_getaffinity(0) if hasattr(os, "sched_getaffinity")
-               else "")).encode()).hexdigest()[:10]
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    tag = hashlib.sha1(line.encode()).hexdigest()[:10]
-                    break
-    except OSError:
-        pass
-    return f"/tmp/jax_cache_{tag}"
-
-
-_cache = _host_cache_dir()
+_cache = host_cache_dir()
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

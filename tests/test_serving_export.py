@@ -97,6 +97,24 @@ def test_bf16_bundle_round_trip(net, params, tmp_path):
                                       np.asarray(b, np.float32))
 
 
+def test_legacy_plain_npz_bundle_still_loads(net, params, tmp_path):
+    """Bundles written before the dtype manifest existed used plain
+    np.savez; loadz_typed must fall back transparently for them."""
+    save_bundle(tmp_path / "b", net, params, n_streams=2, mode="carry",
+                platforms=("cpu",))
+    # rewrite both archives the pre-manifest way (f32 leaves round-trip
+    # fine through plain npz)
+    for name in ("weights.npz", "state.npz"):
+        p = tmp_path / "b" / name
+        z = dict(np.load(p))
+        z.pop("__dtypes__", None)
+        np.savez(p, **z)
+    step, p, st, meta = load_bundle(tmp_path / "b")
+    frames = np.zeros((2, 60), np.float32)
+    (pose, joints, root, contact), _ = step(p, st, frames)
+    assert np.isfinite(np.asarray(pose)).all()
+
+
 def test_export_cli_smoke(tmp_path):
     from mobileposer_tpu.cli.export_serving import main
     main(["--out", str(tmp_path / "bundle"), "--streams", "2",

@@ -93,8 +93,9 @@ def test_shard_map_train_step_multichip(dataset):
 
 def test_shard_map_step_matches_gspmd_on_one_device(dataset):
     """On a 1-device mesh the shard_map step sees the full batch, so its
-    loss must equal the plain GSPMD step's bit-for-bit (same rng, same
-    dropout geometry)."""
+    loss must equal the plain GSPMD step's bit-for-bit (the shard_map step
+    folds the device index into the rng, so the oracle uses fold_in(rng,
+    0) — same key, same full-batch dropout geometry at one device)."""
     from mobileposer_tpu.train import make_shard_map_train_step
     mesh = make_mesh(1)
     batch = dataset._assemble(np.arange(4), C.datasets.window_length)
@@ -107,8 +108,36 @@ def test_shard_map_step_matches_gspmd_on_one_device(dataset):
 
     state_b = init_train_state("footcontact", jax.random.PRNGKey(0), lr=1e-3)
     step_b = make_train_step("footcontact", lr=1e-3, backend="xla")
-    _, loss_b = step_b(state_b, batch, rng)
+    _, loss_b = step_b(state_b, batch, jax.random.fold_in(rng, 0))
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+
+
+def test_shard_map_step_distinct_noise_per_shard(dataset):
+    """Each device must draw DIFFERENT augmentation noise for its rows: a
+    batch of 8 identical samples sharded over 8 devices must not produce 8
+    identical per-shard gradients (which an unfolded rng would)."""
+    from mobileposer_tpu.train import make_shard_map_train_step
+    from mobileposer_tpu.parallel.mesh import DATA_AXIS
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh()
+    batch = dataset._assemble(np.arange(1), C.datasets.window_length)
+    batch8 = {k: np.repeat(np.asarray(v), 8, axis=0) for k, v in batch.items()}
+    from mobileposer_tpu.train.trainer import loss_fn_for
+    loss_fn = loss_fn_for("footcontact", backend="xla")
+
+    def per_shard_loss(batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        params = init_train_state("footcontact", jax.random.PRNGKey(0),
+                                  1e-3).params
+        return loss_fn(params, batch, rng, train=True)[None]
+
+    losses = jax.jit(jax.shard_map(
+        per_shard_loss, mesh=mesh, in_specs=(P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS), check_vma=False))(
+            shard_batch(batch8, mesh), jax.random.PRNGKey(7))
+    losses = np.asarray(losses)
+    # identical inputs + params; only the folded rng differs per shard
+    assert len(np.unique(np.round(losses, 10))) > 1
 
 
 def test_training_manager_fast_dev_run(dataset, body, tmp_path):
