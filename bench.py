@@ -93,6 +93,31 @@ def main():
         "device_seconds": round(dev, 4),
     }
 
+    # bf16 exact semantics (same windowed program, bf16 weights/state):
+    # a non-win before the lane-major IK change, +7% after it (the VPU
+    # share of the step shrank, so the MXU's bf16 rate shows through)
+    from mobileposer_tpu.nn import cast_params as _cast
+    params_xbf = _cast(params, jnp.bfloat16)
+    states_xbf = jax.tree_util.tree_map(
+        jnp.asarray, net.init_online_state_batched(n_streams,
+                                                   dtype=jnp.bfloat16))
+
+    @jax.jit
+    def run_exact_bf(params, states, frames):
+        (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
+            params, states, frames)
+        return (pose.astype(jnp.float32).sum()
+                + joints.astype(jnp.float32).sum()
+                + root.astype(jnp.float32).sum()
+                + contact.astype(jnp.float32).sum())
+
+    dev_xb = max(timed_fetch(run_exact_bf, params_xbf, states_xbf,
+                             frames.astype(jnp.bfloat16)) - rtt, 1e-9)
+    fps_xb = n_streams * n_frames / dev_xb
+    result["exact_bf16_frames_per_sec"] = round(fps_xb, 1)
+    result["exact_bf16_pct_of_peak"] = round(
+        100.0 * fps_xb * flops_per_frame / DEFAULT_PEAK, 2)
+
     # Opt-in carry-mode streaming (models/streaming.py): forward states
     # carried across frames, backward recomputed over the 5-frame tail only
     # — an approximation of the window semantics with ~15x fewer FLOPs.
