@@ -95,9 +95,12 @@ def main():
 
     # bf16 exact semantics (same windowed program, bf16 weights/state):
     # a non-win before the lane-major IK change, +7% after it (the VPU
-    # share of the step shrank, so the MXU's bf16 rate shows through)
-    from mobileposer_tpu.nn import cast_params as _cast
-    params_xbf = _cast(params, jnp.bfloat16)
+    # share of the step shrank, so the MXU's bf16 rate shows through).
+    # One bf16 params/frames pair serves this and the carry block below
+    # (per-leaf eager casts over the tunnel pay remote compiles).
+    from mobileposer_tpu.nn import cast_params
+    params_bf = cast_params(params, jnp.bfloat16)
+    frames_bf = frames.astype(jnp.bfloat16)
     states_xbf = jax.tree_util.tree_map(
         jnp.asarray, net.init_online_state_batched(n_streams,
                                                    dtype=jnp.bfloat16))
@@ -111,8 +114,8 @@ def main():
                 + root.astype(jnp.float32).sum()
                 + contact.astype(jnp.float32).sum())
 
-    dev_xb = max(timed_fetch(run_exact_bf, params_xbf, states_xbf,
-                             frames.astype(jnp.bfloat16)) - rtt, 1e-9)
+    dev_xb = max(timed_fetch(run_exact_bf, params_bf, states_xbf,
+                             frames_bf) - rtt, 1e-9)
     fps_xb = n_streams * n_frames / dev_xb
     result["exact_bf16_frames_per_sec"] = round(fps_xb, 1)
     result["exact_bf16_pct_of_peak"] = round(
@@ -139,15 +142,11 @@ def main():
     result["carry_mode_pct_of_peak"] = round(
         100.0 * fps_c * cflops / DEFAULT_PEAK, 2)
 
-    # carry + bf16 weights/state/frames: carry mode is VPU/bandwidth-bound,
-    # so bf16 nearly doubles it (unlike the exact path, where it measured
-    # as a non-win) — the max-throughput serving configuration.
-    from mobileposer_tpu.nn import cast_params
-    params_bf = cast_params(params, jnp.bfloat16)
+    # carry + bf16 weights/state/frames — the max-throughput serving
+    # configuration (reuses the bf16 params/frames pair from above).
     cstates_bf = jax.tree_util.tree_map(
         jnp.asarray, net.init_carry_state_batched(n_streams,
                                                   dtype=jnp.bfloat16))
-    frames_bf = frames.astype(jnp.bfloat16)
 
     @jax.jit
     def run_carry_bf(params, cstates, frames):

@@ -51,7 +51,10 @@ def loadz_typed(path) -> dict:
 
     import jax.numpy as jnp
 
-    z = np.load(path, allow_pickle=True)
+    # allow_pickle stays False: neither format stores object arrays
+    # (strings/ints round-trip as plain arrays), and model-deployment
+    # archives must never execute pickle payloads on load
+    z = np.load(path)
     if "__dtypes__" not in z.files:
         return {k: z[k] for k in z.files}
     dtypes = json.loads(str(z["__dtypes__"]))

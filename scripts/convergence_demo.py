@@ -52,7 +52,11 @@ def main(argv=None):
     print("windows:", len(ds), flush=True)
     mgr = TrainingManager(hypers=C.TrainHypers(batch_size=args.batch_size,
                                                num_epochs=args.epochs))
+    # fresh checkpoint dir: stale top-k entries from a previous run would
+    # win combine_weights and falsify "this run's" trained metrics
+    import shutil
     ckpt = str(C.paths.checkpoint / "convergence_demo")
+    shutil.rmtree(ckpt, ignore_errors=True)
     for m in ("joints", "poser", "footcontact", "velocity"):
         out = mgr.train_module(m, ds, ckpt, body_model=body)
         h = out["history"]
