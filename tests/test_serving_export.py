@@ -73,19 +73,21 @@ def test_bundle_round_trip(net, params, tmp_path):
         _tree_allclose(out_aot, out_live, atol=1e-6)
 
 
-def test_bf16_bundle_round_trip(net, params, tmp_path):
+@pytest.mark.parametrize("mode", ["carry", "exact"])
+def test_bf16_bundle_round_trip(net, params, tmp_path, mode):
     """bf16 bundles must survive the npz round trip: numpy saves ml_dtypes
     bfloat16 as raw void arrays, so leaves ride as uint16 bit patterns
     with a dtype manifest."""
     from mobileposer_tpu.nn import cast_params
     S = 2
     params_bf = cast_params(params, jnp.bfloat16)
-    save_bundle(tmp_path / "b16", net, params_bf, n_streams=S, mode="carry",
+    save_bundle(tmp_path / "b16", net, params_bf, n_streams=S, mode=mode,
                 dtype=jnp.bfloat16, platforms=("cpu",))
     step, p, st, meta = load_bundle(tmp_path / "b16")
     assert meta["dtype"] == "bfloat16"
     assert jnp.dtype(p["joints"]["linear1"]["w"].dtype) == jnp.bfloat16
-    assert jnp.dtype(st.imu_ring.dtype) == jnp.bfloat16
+    window = st.imu_ring if mode == "carry" else st.imu
+    assert jnp.dtype(window.dtype) == jnp.bfloat16
     assert jnp.dtype(st.last_root_pos.dtype) == jnp.float32  # accumulators
     frames = np.zeros((S, 60), np.dtype(str(jnp.dtype(jnp.bfloat16))))
     (pose, joints, root, contact), st2 = step(p, st, frames)
