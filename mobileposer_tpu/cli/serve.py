@@ -53,7 +53,8 @@ def main(argv=None) -> None:
     finally:
         server.stop()
         server.close()
-        print(f"\nServed {server.frames_served} frames.")
+        import json
+        print("\n" + json.dumps(server.stats()))
 
 
 if __name__ == "__main__":

@@ -128,6 +128,10 @@ class PoseServer:
 
         self._stop = threading.Event()
         self.frames_served = 0
+        # tick-latency ring for SLO observability (stats()); fixed-size so
+        # a long-running server never grows host memory
+        self._tick_ms = np.zeros(1024, np.float32)
+        self._tick_n = 0
 
     # -- slot management ----------------------------------------------------
     def _slot_for(self, stream_id: int) -> Optional[int]:
@@ -186,6 +190,7 @@ class PoseServer:
         sliding window absorbs it); replies only go to slots that sent one.
         Returns the number of replies sent.
         """
+        t0 = time.perf_counter()
         self._drain_requests()
         active = np.nonzero(self.has_frame)[0]
         if active.size == 0:
@@ -210,7 +215,28 @@ class PoseServer:
                 pass
         self.has_frame[active] = False
         self.frames_served += sent
+        self._tick_ms[self._tick_n % self._tick_ms.size] = (
+            (time.perf_counter() - t0) * 1e3)
+        self._tick_n += 1
         return sent
+
+    def stats(self) -> dict:
+        """Serving SLO snapshot: tick-latency percentiles over the last
+        <=1024 active ticks (drain + batch step + replies, end to end;
+        the reference's analogue is the PerformanceLogger Hz printout,
+        calibration.py:24-58) plus cumulative counters."""
+        n = min(self._tick_n, self._tick_ms.size)
+        lat = np.sort(self._tick_ms[:n]) if n else np.zeros(1)
+        pct = lambda q: float(lat[min(int(q * len(lat)), len(lat) - 1)])
+        return {
+            "frames_served": self.frames_served,
+            "active_streams": len(self.slot_of),
+            "ticks_measured": int(n),
+            "tick_ms_p50": round(pct(0.50), 3),
+            "tick_ms_p90": round(pct(0.90), 3),
+            "tick_ms_p99": round(pct(0.99), 3),
+            "tick_budget_ms": round(self.tick_period * 1e3, 3),
+        }
 
     def run(self, duration: Optional[float] = None) -> None:
         t0 = time.time()

@@ -171,6 +171,11 @@ def test_carry_mode_server_round_trip():
         c2.send_frame(rng.randn(60).astype(np.float32) * 0.1)
         assert c2.recv_pose() is not None
         c2.close()
+        # SLO snapshot: latency percentiles over the measured ticks
+        stats = srv.stats()
+        assert stats["frames_served"] >= got
+        assert stats["ticks_measured"] > 0
+        assert 0 < stats["tick_ms_p50"] <= stats["tick_ms_p99"]
     finally:
         client.close()
         srv.stop()
