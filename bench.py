@@ -115,7 +115,7 @@ def main():
                 + contact.astype(jnp.float32).sum())
 
     dev_xb = max(timed_fetch(run_exact_bf, params_bf, states_xbf,
-                             frames_bf) - rtt, 1e-9)
+                             frames_bf, reps=3) - rtt, 1e-9)
     fps_xb = n_streams * n_frames / dev_xb
     result["exact_bf16_frames_per_sec"] = round(fps_xb, 1)
     result["exact_bf16_pct_of_peak"] = round(
@@ -136,7 +136,8 @@ def main():
 
     from benchmarks.flops import carry_flops_per_emitted_frame
     cflops = carry_flops_per_emitted_frame()
-    dev_c = max(timed_fetch(run_carry, params, cstates, frames) - rtt, 1e-9)
+    dev_c = max(timed_fetch(run_carry, params, cstates, frames,
+                             reps=3) - rtt, 1e-9)
     fps_c = n_streams * n_frames / dev_c
     result["carry_mode_frames_per_sec"] = round(fps_c, 1)
     result["carry_mode_pct_of_peak"] = round(
@@ -157,8 +158,8 @@ def main():
                 + root.astype(jnp.float32).sum()
                 + contact.astype(jnp.float32).sum())
 
-    dev_cb = max(timed_fetch(run_carry_bf, params_bf, cstates_bf, frames_bf)
-                 - rtt, 1e-9)
+    dev_cb = max(timed_fetch(run_carry_bf, params_bf, cstates_bf, frames_bf,
+                             reps=3) - rtt, 1e-9)
     fps_cb = n_streams * n_frames / dev_cb
     result["carry_mode_bf16_frames_per_sec"] = round(fps_cb, 1)
     result["carry_mode_bf16_pct_of_peak"] = round(
@@ -193,4 +194,12 @@ def main():
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # persistent compile cache (host-feature-keyed): bench runs 4 timed
+    # configs whose compiles dominate cold wall time; repeat invocations
+    # (driver round-end runs) hit the cache and finish in ~1 min
+    from mobileposer_tpu.utils.helpers import host_cache_dir
+    _cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", host_cache_dir())
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     main()
