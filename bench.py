@@ -196,10 +196,7 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     # persistent compile cache (host-feature-keyed): bench runs 4 timed
     # configs whose compiles dominate cold wall time; repeat invocations
-    # (driver round-end runs) hit the cache and finish in ~1 min
-    from mobileposer_tpu.utils.helpers import host_cache_dir
-    _cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", host_cache_dir())
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # (driver round-end runs) hit the cache
+    from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     main()

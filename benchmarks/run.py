@@ -410,4 +410,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     main()

@@ -226,15 +226,18 @@ class PoseServer:
         the reference's analogue is the PerformanceLogger Hz printout,
         calibration.py:24-58) plus cumulative counters."""
         n = min(self._tick_n, self._tick_ms.size)
-        lat = np.sort(self._tick_ms[:n]) if n else np.zeros(1)
-        pct = lambda q: float(lat[min(int(q * len(lat)), len(lat) - 1)])
+        lat = self._tick_ms[:n] if n else np.zeros(1)
+        p50, p90, p99 = np.percentile(lat, [50, 90, 99])
+        now = time.time()
+        active = sum(1 for slot in self.slot_of.values()
+                     if now - self.last_seen[slot] <= self.idle_timeout)
         return {
             "frames_served": self.frames_served,
-            "active_streams": len(self.slot_of),
+            "active_streams": active,
             "ticks_measured": int(n),
-            "tick_ms_p50": round(pct(0.50), 3),
-            "tick_ms_p90": round(pct(0.90), 3),
-            "tick_ms_p99": round(pct(0.99), 3),
+            "tick_ms_p50": round(float(p50), 3),
+            "tick_ms_p90": round(float(p90), 3),
+            "tick_ms_p99": round(float(p99), 3),
             "tick_budget_ms": round(self.tick_period * 1e3, 3),
         }
 

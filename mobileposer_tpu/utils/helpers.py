@@ -35,6 +35,19 @@ def host_cache_dir(prefix: str = "/tmp/jax_cache") -> str:
     return f"{prefix}_{tag}"
 
 
+def enable_persistent_compile_cache() -> str:
+    """Wire up the host-keyed persistent JAX compile cache (benchmarks and
+    driver entry points are compile-bound over the tunnel; repeat runs hit
+    the cache). Returns the directory used."""
+    import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", host_cache_dir())
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache
+
+
 def getenv_flag(name: str, default: bool = False) -> bool:
     v = os.environ.get(name)
     if v is None or v == "":
