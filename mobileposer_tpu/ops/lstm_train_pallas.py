@@ -28,7 +28,6 @@ tests/test_train_pallas.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
