@@ -286,3 +286,37 @@ def test_debug_params_round_trip_and_live_reload(tmp_path):
     os.utime(f, (time.time() + 4, time.time() + 4))
     assert p.poll() is False
     assert p["kp"] == 7.0
+
+
+def test_savez_loadz_typed_round_trip(tmp_path):
+    """utils.io.savez_typed/loadz_typed: bf16 rides as uint16 bit patterns
+    with a dtype manifest; strings/ints/bools round-trip as plain arrays;
+    archives written before the manifest existed load via the fallback."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mobileposer_tpu.utils.io import loadz_typed, savez_typed
+
+    flat = {
+        "w": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "bf": jnp.asarray([[1.5, -2.0], [0.25, 3.0]], jnp.bfloat16),
+        "flag": np.asarray(True),
+        "name": np.asarray("poser"),
+        "count": np.asarray(7),
+    }
+    p = tmp_path / "typed.npz"
+    savez_typed(p, flat)
+    back = loadz_typed(p)
+    assert back["bf"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(back["bf"], np.float32),
+                                  np.asarray(flat["bf"], np.float32))
+    np.testing.assert_array_equal(back["w"], flat["w"])
+    assert bool(back["flag"]) is True
+    assert str(back["name"]) == "poser"
+    assert int(back["count"]) == 7
+
+    # legacy (pre-manifest) archive loads through the fallback
+    legacy = tmp_path / "legacy.npz"
+    np.savez(legacy, w=flat["w"], count=flat["count"])
+    back2 = loadz_typed(legacy)
+    np.testing.assert_array_equal(back2["w"], flat["w"])
+    assert int(back2["count"]) == 7
