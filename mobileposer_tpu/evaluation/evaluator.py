@@ -12,6 +12,13 @@ evaluators (evaluator.py:33-100). Differences by design:
     remains one jit region.
   * Means/stds replicate torch semantics exactly: `std(dim=0)` is the
     unbiased std over time per joint/vertex, then averaged.
+  * Binary confusion/F1 use the conventional positive=1 layout with guarded
+    denominators; the reference labels class 0 "positive"
+    (evaluator.py:47). PARITY.md divergence #7; the exact flip
+    relationship is pinned by tests/test_evaluator_parity.py.
+
+Every metric definition here is pinned against an independent eager-torch
+float64 replica in tests/test_evaluator_parity.py (rtol 1e-4).
 """
 
 from __future__ import annotations
