@@ -40,9 +40,25 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     return True
 
 
-def host_local_batch_slice(global_batch_size: int) -> Tuple[int, int]:
-    """(start, size) of this host's slice of a globally-sharded batch."""
-    n_proc = jax.process_count()
-    pid = jax.process_index()
+def host_local_batch_slice(global_batch_size: int,
+                           process_index: Optional[int] = None,
+                           process_count: Optional[int] = None
+                           ) -> Tuple[int, int]:
+    """(start, size) of this host's slice of a globally-sharded batch.
+
+    `process_index`/`process_count` default to the live jax.distributed
+    topology; passing them explicitly makes the arithmetic unit-testable
+    without a multi-host run. The global batch must divide evenly — a
+    silent remainder drop would desynchronize the per-host collectives
+    (every host must contribute the same shard shape).
+    """
+    n_proc = jax.process_count() if process_count is None else process_count
+    pid = jax.process_index() if process_index is None else process_index
+    if n_proc <= 0 or not (0 <= pid < n_proc):
+        raise ValueError(f"invalid process topology: index {pid} of {n_proc}")
+    if global_batch_size % n_proc != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} does not divide evenly over "
+            f"{n_proc} processes; pad the batch or change the host count")
     per_host = global_batch_size // n_proc
     return pid * per_host, per_host

@@ -1,0 +1,77 @@
+"""Tests for the multi-host helpers (SURVEY 2.24, reference-absent).
+
+The multi-host DCN leg cannot run on this host; what IS testable is the
+host-slicing arithmetic (pure Python) and the single-process no-op
+behavior of `initialize_distributed`.
+"""
+
+import numpy as np
+import pytest
+
+from mobileposer_tpu.parallel import host_local_batch_slice, initialize_distributed
+
+
+@pytest.mark.parametrize("n_proc", [1, 2, 3, 4, 8, 16])
+@pytest.mark.parametrize("global_batch", [16, 48, 256])
+def test_host_slices_partition_the_batch(n_proc, global_batch):
+    """Slices across all processes tile the global batch exactly: disjoint,
+    ordered, covering."""
+    if global_batch % n_proc != 0:
+        with pytest.raises(ValueError, match="divide evenly"):
+            host_local_batch_slice(global_batch, 0, n_proc)
+        return
+    covered = np.zeros(global_batch, dtype=int)
+    prev_end = 0
+    for pid in range(n_proc):
+        start, size = host_local_batch_slice(global_batch, pid, n_proc)
+        assert size == global_batch // n_proc
+        assert start == prev_end                       # ordered + contiguous
+        covered[start:start + size] += 1
+        prev_end = start + size
+    assert prev_end == global_batch
+    assert (covered == 1).all()                        # disjoint + covering
+
+
+def test_host_slice_rejects_bad_topology():
+    with pytest.raises(ValueError, match="topology"):
+        host_local_batch_slice(8, 2, 2)                # index out of range
+    with pytest.raises(ValueError, match="topology"):
+        host_local_batch_slice(8, -1, 2)
+    with pytest.raises(ValueError, match="topology"):
+        host_local_batch_slice(8, 0, 0)
+    with pytest.raises(ValueError, match="divide evenly"):
+        host_local_batch_slice(10, 0, 4)
+
+
+def test_host_slice_defaults_to_live_topology():
+    """Single-process run: the live jax topology is 1 process, so the slice
+    is the whole batch."""
+    assert host_local_batch_slice(32) == (0, 32)
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    """Without a coordinator address (args or env), initialize() must be a
+    no-op returning False — single-process training never touches
+    jax.distributed."""
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    called = []
+    import jax
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    assert initialize_distributed() is False
+    assert called == []
+
+
+def test_initialize_distributed_env_wiring(monkeypatch):
+    """With env vars set, the call forwards coordinator/process identity to
+    jax.distributed.initialize verbatim (captured, not actually run)."""
+    import jax
+    called = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.update(kw))
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    assert initialize_distributed() is True
+    assert called == {"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 3}
