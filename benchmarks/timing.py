@@ -27,6 +27,17 @@ import jax.numpy as jnp
 
 def timed_fetch(fn: Callable, *args, reps: int = 5) -> float:
     """Median wall seconds of fn(*args) + fetch of its scalar result."""
+    return timed_fetch_stats(fn, *args, reps=reps)["median"]
+
+
+def timed_fetch_stats(fn: Callable, *args, reps: int = 5) -> dict:
+    """Same-process repeat statistics for one benchmark program.
+
+    Returns {median, min, max, spread_pct} over `reps` walls (first call
+    excluded — it compiles). spread_pct = (max-min)/median: the pool hands
+    out chips with up to 3x speed spread ACROSS processes, so every row
+    must carry its own within-process confidence (VERDICT r2 weak #6);
+    a large spread_pct flags interference/thermal noise on this run."""
     out = np.asarray(fn(*args))
     assert np.ndim(out) == 0, "timed_fetch expects a scalar-returning fn"
     ts = []
@@ -34,7 +45,32 @@ def timed_fetch(fn: Callable, *args, reps: int = 5) -> float:
         t0 = time.perf_counter()
         np.asarray(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    med = float(np.median(ts))
+    return {"median": med, "min": float(np.min(ts)), "max": float(np.max(ts)),
+            "spread_pct": round(100.0 * (np.max(ts) - np.min(ts))
+                                / max(med, 1e-12), 1)}
+
+
+def chip_fingerprint(iters: int = 8) -> dict:
+    """Measured bf16 matmul speed of THIS process's chip: a [4096x4096]^2
+    chained matmul, reported as achieved TFLOP/s. Embedding it in every
+    report makes cross-run comparisons self-describing about pool-chip
+    speed (a row from a slow chip reads as slow chip, not regression)."""
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def run(x):
+        def body(_, x):
+            y = x @ x
+            return (y * (0.25 / 4096)).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, iters, body, x).astype(
+            jnp.float32).sum()
+
+    rtt = rtt_seconds()
+    wall = timed_fetch(run, x, reps=3)
+    dt = max(wall - rtt, 1e-9) / iters
+    tflops = 2 * 4096**3 / dt / 1e12
+    return {"matmul_bf16_tflops": round(tflops, 1)}
 
 
 def rtt_seconds() -> float:

@@ -264,10 +264,12 @@ def _levi_civita(i: int, j: int, k: int) -> int:
 def rotation_matrix_to_euler_angle(r: jnp.ndarray, seq: str = "XYZ") -> jnp.ndarray:
     """Rotation matrices -> euler angles (reference: angular.py:239-252).
 
-    Supports Tait-Bryan sequences (three distinct axes), intrinsic or
-    extrinsic. Gimbal-lock inputs are clipped (third angle absorbs the
-    ambiguity, matching scipy's convention of zeroing the first angle only
-    approximately; exact behavior at the singularity is unspecified).
+    Supports all 12 sequences: Tait-Bryan (three distinct axes, e.g.
+    'XYZ', second angle in [-pi/2, pi/2]) and proper Euler (repeated
+    first/third axis, e.g. 'ZXZ', second angle in [0, pi]), intrinsic
+    (uppercase) or extrinsic (lowercase). Gimbal-lock inputs are clipped
+    (the third angle absorbs the ambiguity; exact behavior at the
+    singularity is unspecified, like scipy's warning).
     """
     r = r.reshape(-1, 3, 3)
     if seq.islower():
@@ -276,13 +278,26 @@ def rotation_matrix_to_euler_angle(r: jnp.ndarray, seq: str = "XYZ") -> jnp.ndar
     if not seq.isupper():
         raise ValueError(f"mixed intrinsic/extrinsic seq not supported: {seq}")
     i, j, k = (_AXIS2IDX[ch.lower()] for ch in seq)
-    if len({i, j, k}) != 3:
-        raise NotImplementedError("proper Euler sequences (repeated axis) not supported")
-    eps = _levi_civita(i, j, k)
-    b = jnp.arcsin(jnp.clip(eps * r[:, i, k], -1.0, 1.0))
-    a = jnp.arctan2(-eps * r[:, j, k], r[:, k, k])
-    c = jnp.arctan2(-eps * r[:, i, j], r[:, i, i])
-    return jnp.stack((a, b, c), axis=-1)
+    if len({i, j, k}) == 3:                       # Tait-Bryan
+        eps = _levi_civita(i, j, k)
+        b = jnp.arcsin(jnp.clip(eps * r[:, i, k], -1.0, 1.0))
+        a = jnp.arctan2(-eps * r[:, j, k], r[:, k, k])
+        c = jnp.arctan2(-eps * r[:, i, j], r[:, i, i])
+        return jnp.stack((a, b, c), axis=-1)
+    if i == k and i != j:                         # proper Euler (i-j-i)
+        # R = R_i(a) R_j(b) R_i(c); with m the axis absent from the
+        # sequence and eps = levi_civita(i, j, m):
+        #   R[i,i] = cos b
+        #   R[j,i] = sin a sin b,  R[m,i] = -eps cos a sin b
+        #   R[i,j] = sin b sin c,  R[i,m] =  eps sin b cos c
+        m = 3 - i - j
+        eps = _levi_civita(i, j, m)
+        b = jnp.arccos(jnp.clip(r[:, i, i], -1.0, 1.0))
+        a = jnp.arctan2(r[:, j, i], -eps * r[:, m, i])
+        c = jnp.arctan2(r[:, i, j], eps * r[:, i, m])
+        return jnp.stack((a, b, c), axis=-1)
+    raise ValueError(f"invalid euler sequence (adjacent repeated axis): "
+                     f"{seq}")
 
 
 # ---------------------------------------------------------------------------

@@ -34,10 +34,15 @@ input frame t-4 (same 4-frame lookahead lag); warm-up fills rings with the
 first frame, mirroring the reference's repeat-first-frame window.
 
 Accuracy note: outputs are numerically different from the windowed path
-(forward context differs); on real checkpoints this must be validated on
-parity day (docs/parity.md) before serving with it. The fusion math on
-top of the emitted module outputs is bit-identical
-(MobilePoserNet._fusion_step).
+(forward context differs). Measured on a TRAINED checkpoint (the
+convergence-demo weights, scripts/carry_ab.py on v5e-1; recorded in
+benchmarks/report_v5e1.json "carry_accuracy_ab"): ONLINE-protocol deltas
+vs exact are SIP +0.52 deg (21.43 -> 21.95), positional +0.34 cm
+(10.84 -> 11.18), and jitter IMPROVES by 15% (0.437 -> 0.373) because the
+carried forward state never resets. Bounded by CI on the committed
+trained fixture (tests/test_carry_accuracy.py). Real-dataset validation
+still belongs to parity day (docs/parity.md). The fusion math on top of
+the emitted module outputs is bit-identical (MobilePoserNet._fusion_step).
 """
 
 from __future__ import annotations

@@ -176,6 +176,83 @@ def make_shard_map_train_step(module_name: str, lr: float, mesh,
     return jax.jit(mapped, donate_argnums=(0,))
 
 
+def make_multi_train_step(lr: float, body_model=None,
+                          backend: str = "auto_train",
+                          module_names=MODULE_NAMES, mesh=None):
+    """One jitted step advancing ALL modules concurrently on one batch.
+
+    The four modules are independent given a batch (the reference trains
+    them sequentially, train.py:153-154 — four passes over the data). Here
+    a single program computes sum-of-losses with one value_and_grad over
+    the combined params dict: the modules' parameter trees are disjoint,
+    so the gradient of the sum IS each module's own gradient. Each module
+    keeps its own optimizer (AdamW for joints) and its own non-finite
+    containment flag.
+
+    Why it is faster than four sequential steps (measured, design.md
+    §6.2): one dispatch per batch instead of four, batches are assembled
+    and sharded once per epoch-pass instead of once per module, and the
+    small footcontact program (4% MFU standalone) rides along with the
+    big ones instead of paying its own per-step overheads.
+
+    `states` is a dict {module: TrainState}; returns (states, losses)
+    with per-module scalar losses. With `mesh` spanning >1 device the
+    step is built as an explicitly-partitioned shard_map program (same
+    semantics as make_shard_map_train_step: per-shard rng fold, psum-mean
+    loss/grads, Pallas kernels stay usable).
+    """
+    opts = {n: make_optimizer(n, lr) for n in module_names}
+    loss_fns = {n: loss_fn_for(n, body_model, backend=backend)
+                for n in module_names}
+
+    multi_device = mesh is not None and mesh.devices.size > 1
+
+    def step(states: Dict[str, TrainState], batch: dict, rng: jax.Array):
+        if multi_device:
+            from mobileposer_tpu.parallel.mesh import DATA_AXIS
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        rngs = {n: jax.random.fold_in(rng, i)
+                for i, n in enumerate(module_names)}
+        params = {n: states[n].params for n in module_names}
+
+        def compute(ps):
+            losses = {n: loss_fns[n](ps[n], batch, rngs[n], train=True)
+                      for n in module_names}
+            total = sum(losses.values())
+            return total, losses
+
+        (_, losses), grads = jax.value_and_grad(
+            compute, has_aux=True)(params)
+        if multi_device:
+            losses = jax.lax.pmean(losses, DATA_AXIS)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+        new_states = {}
+        for n in module_names:
+            st = states[n]
+            updates, opt_state = opts[n].update(grads[n], st.opt_state,
+                                                st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            grads_ok = jax.tree_util.tree_reduce(
+                lambda a, g: a & jnp.all(jnp.isfinite(g)), grads[n],
+                jnp.asarray(True))
+            ok = jnp.isfinite(losses[n]) & grads_ok
+            new_params, opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                (new_params, opt_state), (st.params, st.opt_state))
+            new_states[n] = TrainState(new_params, opt_state, st.step + 1)
+        return new_states, losses
+
+    if multi_device:
+        from jax.sharding import PartitionSpec as P
+
+        from mobileposer_tpu.parallel.mesh import DATA_AXIS
+        step = jax.shard_map(step, mesh=mesh,
+                             in_specs=(P(), P(DATA_AXIS), P()),
+                             out_specs=(P(), P()),
+                             check_vma=False)
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_eval_step(module_name: str, body_model=None,
                    time_major: bool = False):
     # validation stays on XLA: no gradients, so the training kernels'
@@ -183,6 +260,20 @@ def make_eval_step(module_name: str, body_model=None,
     loss_fn = loss_fn_for(module_name, body_model, backend="xla")
     return jax.jit(lambda params, batch, rng: loss_fn(
         params, batch, rng, train=False, time_major=time_major))
+
+
+def make_multi_eval_step(body_model=None, module_names=MODULE_NAMES):
+    """All modules' validation losses in one jit region (one dispatch)."""
+    loss_fns = {n: loss_fn_for(n, body_model, backend="xla")
+                for n in module_names}
+
+    def step(params: Dict[str, dict], batch: dict, rng: jax.Array):
+        rngs = {n: jax.random.fold_in(rng, i)
+                for i, n in enumerate(module_names)}
+        return {n: loss_fns[n](params[n], batch, rngs[n], train=False)
+                for n in module_names}
+
+    return jax.jit(step)
 
 
 # ---------------------------------------------------------------------------
@@ -425,6 +516,155 @@ class TrainingManager:
             sink.close()
         return {"params": jax.tree_util.tree_map(np.asarray, state.params),
                 "history": history, "checkpointer": ckpt}
+
+    def train_all(self, dataset, checkpoint_path, body_model=None,
+                   seed: Optional[int] = None, val_fraction: float = 0.1,
+                   metrics: Optional[str] = None,
+                   log_file: Optional[str] = None,
+                   module_names=MODULE_NAMES,
+                   resume: bool = False) -> Dict:
+        """Train ALL modules concurrently in one pass over the data.
+
+        Same recipe surface as four train_module calls (identical checkpoint
+        layout — combine_weights works unchanged; same JSONL record schema),
+        but each batch is assembled, padded and sharded ONCE and a single
+        jitted program advances every module (make_multi_train_step). The
+        reference trains modules sequentially (train.py:153-154: four passes
+        over the dataset); measured end-to-end recipe speedup on v5e-1 is
+        recorded in design.md §6.2.
+
+        `resume=True` restores each module's `train_state.npz` under
+        `checkpoint_path/<module>/` (written every 5 epochs + last); all
+        modules must be resumable to the same epoch or training restarts from
+        the earliest common epoch.
+        """
+        h = self.hypers
+        seed = h.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        keys = jax.random.split(key, len(module_names) + 1)
+        key, init_keys = keys[0], keys[1:]
+
+        ckpts = {n: Checkpointer(Path(checkpoint_path) / n)
+                 for n in module_names}
+        start_epoch = 0
+        states = {}
+        if resume:
+            epochs_found = []
+            for n in module_names:
+                p = ckpts[n].dir / "train_state.npz"
+                if p.exists():
+                    st, mod, nxt = restore_training_state(p, h.lr)
+                    assert mod == n
+                    states[n] = st
+                    epochs_found.append(nxt)
+            if len(epochs_found) == len(module_names):
+                start_epoch = min(epochs_found)
+            else:
+                states = {}
+        if not states:
+            states = {n: init_train_state(n, k, h.lr)
+                      for n, k in zip(module_names, init_keys)}
+        n_dev = len(self.mesh.devices.flatten())
+        states = {n: s._replace(params=replicate_params(s.params, self.mesh))
+                  for n, s in states.items()}
+
+        train_step = _concurrent_train_step_for(self, body_model)
+        eval_step = make_multi_eval_step(body_model, module_names)
+
+        rng_np = np.random.default_rng(seed)
+        n = len(dataset)
+        perm = rng_np.permutation(n)
+        n_val = max(1, int(n * val_fraction))
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+        W = C.datasets.window_length
+        epochs = 1 if self.fast_dev_run else h.num_epochs
+        history = {m: {"train_loss": [], "val_loss": []} for m in module_names}
+        from mobileposer_tpu.utils.metrics import JSONLSink, MultiSink, make_sinks
+        sink = make_sinks(metrics)
+        if log_file:
+            sink = MultiSink(sink.sinks + [JSONLSink(log_file)])
+
+        def batches_from(idxs, shuffle_rng):
+            order = (shuffle_rng.permutation(len(idxs)) if shuffle_rng
+                     else np.arange(len(idxs)))
+            bs = max(1, min(h.batch_size, len(idxs)))
+            for b0 in range(0, len(order) - bs + 1, bs):
+                yield dataset._assemble(idxs[order[b0:b0 + bs]], W)
+
+        from mobileposer_tpu.data.prefetch import BatchPrefetcher
+
+        try:
+            for epoch in range(start_epoch, epochs):
+                t0 = time.time()
+                losses = {m: [] for m in module_names}
+                with BatchPrefetcher(batches_from(train_idx, rng_np)) as pf:
+                    for step_i, batch in enumerate(pf):
+                        batch = pad_batch_to_multiple(batch, n_dev)
+                        batch = shard_batch(batch, self.mesh)
+                        key, sub = jax.random.split(key)
+                        states, batch_losses = train_step(states, batch, sub)
+                        for m in module_names:
+                            losses[m].append(batch_losses[m])
+                        if self.fast_dev_run and step_i >= 1:
+                            break
+                train_losses = {m: (float(np.mean([np.asarray(l)
+                                                   for l in losses[m]]))
+                                    if losses[m] else float("nan"))
+                                for m in module_names}
+
+                val_acc = {m: [] for m in module_names}
+                for batch in batches_from(val_idx, None):
+                    batch = pad_batch_to_multiple(batch, n_dev)
+                    batch = shard_batch(batch, self.mesh)
+                    key, sub = jax.random.split(key)
+                    vl = eval_step({m: states[m].params for m in module_names},
+                                   batch, sub)
+                    for m in module_names:
+                        val_acc[m].append(vl[m])
+                    if self.fast_dev_run:
+                        break
+                dt = round(time.time() - t0, 3)
+                for m in module_names:
+                    val_loss = (float(np.mean([np.asarray(l)
+                                               for l in val_acc[m]]))
+                                if val_acc[m] else train_losses[m])
+                    history[m]["train_loss"].append(train_losses[m])
+                    history[m]["val_loss"].append(val_loss)
+                    if np.isfinite(val_loss) and ckpts[m].should_save(val_loss):
+                        ckpts[m].save(states[m].params, epoch, val_loss)
+                    if epoch % 5 == 4 or epoch == epochs - 1:
+                        save_training_state(ckpts[m].dir / "train_state.npz",
+                                            m, states[m], epoch)
+                    rec = {"module": m, "epoch": epoch,
+                           "train_loss": train_losses[m],
+                           "val_loss": history[m]["val_loss"][-1],
+                           "seconds": dt, "concurrent": True}
+                    print(json.dumps(rec))
+                    sink.log(rec)
+        finally:
+            sink.close()
+        return {"params": {m: jax.tree_util.tree_map(np.asarray,
+                                                     states[m].params)
+                           for m in module_names},
+                "history": history, "checkpointers": ckpts}
+
+
+
+def _concurrent_train_step_for(manager, body_model):
+    """The right make_multi_train_step flavor for the manager's mesh:
+    single-device → fused Pallas kernels; gspmd multi → XLA kernels with
+    GSPMD-sharded inputs; shard_map multi → explicitly partitioned with
+    Pallas kernels."""
+    n_dev = len(manager.mesh.devices.flatten())
+    if n_dev == 1:
+        return make_multi_train_step(manager.hypers.lr, body_model,
+                                     backend="auto_train")
+    if manager.dp_impl == "shard_map":
+        return make_multi_train_step(manager.hypers.lr, body_model,
+                                     backend="auto_train", mesh=manager.mesh)
+    return make_multi_train_step(manager.hypers.lr, body_model,
+                                 backend="xla")
 
 
 def combine_weights(checkpoint_path, out_path=None,

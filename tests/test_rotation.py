@@ -120,6 +120,32 @@ class TestEuler:
         assert_close(rot.rotation_matrix_to_euler_angle(r, seq),
                      ScipyR.from_matrix(r).as_euler(seq), atol=1e-4)
 
+    @pytest.mark.parametrize("seq", ["ZXZ", "XYX", "YZY", "ZYZ", "XZX",
+                                     "YXY", "zxz", "xyx", "zyz"])
+    def test_proper_euler_vs_scipy(self, seq):
+        """Proper (repeated-axis) sequences, intrinsic and extrinsic —
+        reference surface angular.py:239-268 via scipy."""
+        r = random_rotmats(64)
+        assert_close(rot.rotation_matrix_to_euler_angle(r, seq),
+                     ScipyR.from_matrix(r).as_euler(seq), atol=1e-4)
+        e = RNG.uniform(-1.4, 1.4, (64, 3)).astype(np.float32)
+        assert_close(rot.euler_angle_to_rotation_matrix(e, seq),
+                     ScipyR.from_euler(seq, e).as_matrix(), atol=1e-5)
+
+    @pytest.mark.parametrize("seq", ["ZXZ", "xyx"])
+    def test_proper_euler_roundtrip(self, seq):
+        """matrix -> angles -> matrix is the identity even where angle
+        conventions could differ."""
+        r = random_rotmats(64)
+        e = rot.rotation_matrix_to_euler_angle(r, seq)
+        assert_close(rot.euler_angle_to_rotation_matrix(e, seq), r,
+                     atol=1e-5)
+
+    def test_adjacent_repeat_rejected(self):
+        r = random_rotmats(2)
+        with pytest.raises(ValueError, match="adjacent"):
+            rot.rotation_matrix_to_euler_angle(r, "XXZ")
+
 
 class TestMisc:
     def test_angle_between(self):
