@@ -24,6 +24,7 @@ they compose with jit / vmap / grad / pjit without a framework dependency.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional, Tuple
 
@@ -181,6 +182,41 @@ def resolve_train_backend(backend: str = "auto_train") -> str:
         return "xla"
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _masked_pallas_diffable(interpret, x_proj, w_hh, h0, c0, mask):
+    """The masked inference kernel with gradients via XLA recompute.
+
+    Forward runs ops.lstm_pallas.lstm_layer_masked_pallas (4.6x vs the
+    masked XLA scan); the kernel itself stores no residuals, so the
+    backward pass re-runs the layer as the XLA scan under jax.vjp.
+    Differentiating backend='auto' with lengths on TPU therefore works
+    (it used to error: the raw pallas_call has no VJP rule); grad paths
+    that care about speed should still use 'auto_train' (fused
+    residual-storing training kernels, ops/lstm_train_pallas.py).
+    `interpret` enables the pallas interpreter for CPU tests.
+    """
+    from mobileposer_tpu.ops.lstm_pallas import lstm_layer_masked_pallas
+    return lstm_layer_masked_pallas(x_proj, w_hh, h0, c0, mask,
+                                    interpret=interpret)
+
+
+def _masked_pallas_fwd(interpret, x_proj, w_hh, h0, c0, mask):
+    return (_masked_pallas_diffable(interpret, x_proj, w_hh, h0, c0, mask),
+            (x_proj, w_hh, h0, c0, mask))
+
+
+def _masked_pallas_bwd(interpret, res, g):
+    x_proj, w_hh, h0, c0, mask = res
+    _, vjp = jax.vjp(
+        lambda xp, w, h, c: _lstm_scan(xp, w, h, c, mask),
+        x_proj, w_hh, h0, c0)
+    gx, gw, gh, gc = vjp(g)
+    return gx, gw, gh, gc, jnp.zeros_like(mask)
+
+
+_masked_pallas_diffable.defvjp(_masked_pallas_fwd, _masked_pallas_bwd)
+
+
 def _use_pallas(backend: str, bidirectional: bool, lengths) -> bool:
     """'auto' picks the pallas kernels where they measure faster on TPU:
     bidirectional layers — full-length via ops/lstm_pallas.py's fused
@@ -226,6 +262,19 @@ def lstm_forward(params_layers, x: jnp.ndarray,
     """
     if backend == "auto_train":
         backend = resolve_train_backend(backend)
+    if backend in ("pallas", "pallas_train"):
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if not on_tpu:
+            raise ValueError(
+                f"backend={backend!r} forces the Pallas TPU kernels but "
+                f"jax.default_backend() is {jax.default_backend()!r}; they "
+                "do not lower on this platform. Use 'auto'/'auto_train' "
+                "(falls back to XLA automatically) or call the "
+                "mobileposer_tpu.ops kernels directly with interpret=True "
+                "for CPU testing.")
     if backend == "pallas_train":
         from mobileposer_tpu.ops.lstm_train_pallas import (
             lstm_forward_train_pallas)
@@ -238,8 +287,6 @@ def lstm_forward(params_layers, x: jnp.ndarray,
         return lstm_forward_pallas(params_layers, x, h0c0,
                                    bidirectional=bidirectional,
                                    time_major=time_major)
-    if use_pallas:
-        from mobileposer_tpu.ops.lstm_pallas import lstm_layer_masked_pallas
     if time_major:
         T, B, _ = x.shape
     else:
@@ -270,8 +317,9 @@ def lstm_forward(params_layers, x: jnp.ndarray,
             x_proj = inp @ p["w_ih"] + (p["b_ih"] + p["b_hh"])
             sidx = li * n_dir + di
             if use_pallas:
-                ys, (h_t, c_t) = lstm_layer_masked_pallas(
-                    x_proj, p["w_hh"], h0_all[sidx], c0_all[sidx], mask)
+                ys, (h_t, c_t) = _masked_pallas_diffable(
+                    False, x_proj, p["w_hh"], h0_all[sidx], c0_all[sidx],
+                    mask)
             else:
                 ys, (h_t, c_t) = _lstm_scan(x_proj, p["w_hh"],
                                             h0_all[sidx], c0_all[sidx], mask)

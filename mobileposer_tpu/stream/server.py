@@ -225,8 +225,12 @@ class PoseServer:
         <=1024 active ticks (drain + batch step + replies, end to end;
         the reference's analogue is the PerformanceLogger Hz printout,
         calibration.py:24-58) plus cumulative counters."""
+        # The ring is written by the serving thread without a lock: snapshot
+        # the count first, then copy the window. The GIL makes each slot
+        # write atomic, so at worst ONE in-flight sample is stale — fine
+        # for percentile observability, and no lock on the hot tick path.
         n = min(self._tick_n, self._tick_ms.size)
-        lat = self._tick_ms[:n] if n else np.zeros(1)
+        lat = self._tick_ms[:n].copy() if n else np.zeros(1)
         p50, p90, p99 = np.percentile(lat, [50, 90, 99])
         now = time.time()
         active = sum(1 for slot in self.slot_of.values()

@@ -57,6 +57,22 @@ def test_cli_train_combine(workspace, datasets, body, monkeypatch):
     assert (ckpt_dir / "metrics.jsonl").exists()
 
 
+def test_cli_train_concurrent(workspace, datasets, body, monkeypatch):
+    """--concurrent: the fused all-module recipe through the same CLI,
+    producing the same combined-weights layout."""
+    import mobileposer_tpu.kinematics.smpl as smpl_mod
+    monkeypatch.setattr(
+        smpl_mod.ParametricModel, "from_file_or_synthetic",
+        classmethod(lambda cls, f, **kw: body))
+    from mobileposer_tpu.cli import train as train_cli
+    ckpt_dir = workspace / "ckpt_concurrent"
+    train_cli.main(["--fast-dev-run", "--concurrent",
+                    "--checkpoint-dir", str(ckpt_dir), "--combine"])
+    assert (ckpt_dir / "base_model.npz").exists()
+    with pytest.raises(SystemExit):
+        train_cli.main(["--concurrent", "--module", "poser"])
+
+
 def test_cli_evaluate(workspace, datasets, body, monkeypatch, capsys):
     import mobileposer_tpu.kinematics.smpl as smpl_mod
     monkeypatch.setattr(

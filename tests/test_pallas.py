@@ -72,3 +72,45 @@ def test_masked_layer_matches_scan():
     np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x), atol=1e-6)
+
+
+def test_masked_diffable_grads_match_xla():
+    """The custom-VJP wrapper around the masked kernel (nn/lstm.py
+    _masked_pallas_diffable) must produce the XLA scan's gradients —
+    backend='auto' with lengths is differentiable on TPU (advisor r2)."""
+    from mobileposer_tpu.nn.lstm import (_lstm_scan, _masked_pallas_diffable,
+                                         init_lstm_layer)
+    H, B, T = 16, 4, 9
+    p = init_lstm_layer(jax.random.PRNGKey(0), H, H)
+    x_proj = jax.random.normal(jax.random.PRNGKey(1), (T, B, 4 * H))
+    h0 = jnp.zeros((B, H))
+    c0 = jnp.zeros((B, H))
+    lengths = jnp.asarray([9, 4, 7, 1], jnp.int32)
+    mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(x_proj.dtype)
+
+    def loss_kernel(xp, w):
+        ys, (h_t, c_t) = _masked_pallas_diffable(True, xp, w, h0, c0, mask)
+        return (ys ** 2).sum() + (h_t * c_t).sum()
+
+    def loss_xla(xp, w):
+        ys, (h_t, c_t) = _lstm_scan(xp, w, h0, c0, mask)
+        return (ys ** 2).sum() + (h_t * c_t).sum()
+
+    v_k, g_k = jax.value_and_grad(loss_kernel, argnums=(0, 1))(
+        x_proj, p["w_hh"])
+    v_x, g_x = jax.value_and_grad(loss_xla, argnums=(0, 1))(
+        x_proj, p["w_hh"])
+    np.testing.assert_allclose(float(v_k), float(v_x), rtol=1e-5)
+    for a, b in zip(g_k, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_forced_pallas_backend_off_tpu_raises():
+    """Forcing a pallas backend on a non-TPU platform must fail with a
+    descriptive error, not an opaque Mosaic lowering failure (advisor r2)."""
+    cfg = LSTMConfig(12, 7, 16)
+    params = init_rnn(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 12))
+    for backend in ("pallas", "pallas_train"):
+        with pytest.raises(ValueError, match="Pallas TPU kernels"):
+            rnn_apply(params, cfg, x, backend=backend)
