@@ -93,6 +93,13 @@ def main():
         "device_seconds": round(dev, 4),
     }
 
+    # measured chip-speed fingerprint: the pool hands out chips with up to
+    # 3x speed spread, so the headline carries the raw matmul rate of THIS
+    # chip — a slow row from a slow chip is then self-explaining
+    from benchmarks.timing import chip_fingerprint
+    result["chip_bf16_matmul_tflops"] = chip_fingerprint(
+        rtt=rtt)["matmul_bf16_tflops"]
+
     # bf16 exact semantics (same windowed program, bf16 weights/state):
     # a non-win before the lane-major IK change, +7% after it (the VPU
     # share of the step shrank, so the MXU's bf16 rate shows through).

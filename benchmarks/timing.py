@@ -51,7 +51,7 @@ def timed_fetch_stats(fn: Callable, *args, reps: int = 5) -> dict:
                                 / max(med, 1e-12), 1)}
 
 
-def chip_fingerprint(iters: int = 8) -> dict:
+def chip_fingerprint(iters: int = 8, rtt: float | None = None) -> dict:
     """Measured bf16 matmul speed of THIS process's chip: a [4096x4096]^2
     chained matmul, reported as achieved TFLOP/s. Embedding it in every
     report makes cross-run comparisons self-describing about pool-chip
@@ -66,7 +66,8 @@ def chip_fingerprint(iters: int = 8) -> dict:
         return jax.lax.fori_loop(0, iters, body, x).astype(
             jnp.float32).sum()
 
-    rtt = rtt_seconds()
+    if rtt is None:
+        rtt = rtt_seconds()
     wall = timed_fetch(run, x, reps=3)
     dt = max(wall - rtt, 1e-9) / iters
     tflops = 2 * 4096**3 / dt / 1e12

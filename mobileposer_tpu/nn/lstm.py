@@ -174,10 +174,16 @@ def resolve_train_backend(backend: str = "auto_train") -> str:
     step on v5e-1), XLA elsewhere. Pass 'xla' explicitly for sharded
     multi-chip train steps — pallas_call has no partitioning rule, so
     GSPMD would replicate it."""
-    if backend != "auto_train":
+    if backend == "auto_train":
+        target = "pallas_train"
+    elif backend == "auto_train_bf16res":
+        # bf16 stored residuals: halves BPTT's residual HBM traffic for
+        # ~1e-2 relative gradient noise (ops/lstm_train_pallas.py)
+        target = "pallas_train_bf16res"
+    else:
         return backend
     try:
-        return "pallas_train" if jax.default_backend() == "tpu" else "xla"
+        return target if jax.default_backend() == "tpu" else "xla"
     except Exception:
         return "xla"
 
@@ -260,9 +266,9 @@ def lstm_forward(params_layers, x: jnp.ndarray,
     Returns (y [B, T, H*n_dir] (or [T, B, ...] if time_major),
     (h_T, c_T) stacked like h0c0).
     """
-    if backend == "auto_train":
+    if backend in ("auto_train", "auto_train_bf16res"):
         backend = resolve_train_backend(backend)
-    if backend in ("pallas", "pallas_train"):
+    if backend in ("pallas", "pallas_train", "pallas_train_bf16res"):
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
@@ -275,12 +281,14 @@ def lstm_forward(params_layers, x: jnp.ndarray,
                 "(falls back to XLA automatically) or call the "
                 "mobileposer_tpu.ops kernels directly with interpret=True "
                 "for CPU testing.")
-    if backend == "pallas_train":
+    if backend in ("pallas_train", "pallas_train_bf16res"):
         from mobileposer_tpu.ops.lstm_train_pallas import (
             lstm_forward_train_pallas)
+        rdt = jnp.bfloat16 if backend.endswith("bf16res") else jnp.float32
         return lstm_forward_train_pallas(params_layers, x, lengths, h0c0,
                                          bidirectional=bidirectional,
-                                         time_major=time_major)
+                                         time_major=time_major,
+                                         residual_dtype=rdt)
     use_pallas = _use_pallas(backend, bidirectional, lengths)
     if use_pallas and lengths is None:
         from mobileposer_tpu.ops.lstm_pallas import lstm_forward_pallas

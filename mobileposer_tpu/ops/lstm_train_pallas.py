@@ -23,6 +23,14 @@ final carry equals the state at each sequence's last valid frame.
 Numerics: gates and carries accumulate in fp32 (same as the inference
 kernels); gradients are pinned to the XLA path at 1e-5 by
 tests/test_train_pallas.py.
+
+`residual_dtype=jnp.bfloat16` (opt-in; backend='auto_train_bf16res')
+halves the residual HBM traffic — the dominant bytes of BPTT at H=256:
+each step stores acts[4H]+h[H]+c[H] per sequence, read back by the
+backward pass. In-kernel arithmetic stays fp32 (residuals are cast on
+read); only the stored activations round to bf16, so gradients carry
+~1e-2 relative noise — standard mixed-precision training territory, but
+NOT the 1e-5-pinned default.
 """
 
 from __future__ import annotations
@@ -79,10 +87,12 @@ def _fwd_kernel(x_ref, w_ref, h0_ref, c0_ref, m_ref,
         cT_ref[:] = c_keep.astype(cT_ref.dtype)
 
 
-def _fwd_call(x_proj, w_hh, h0, c0, mask, interpret: bool):
+def _fwd_call(x_proj, w_hh, h0, c0, mask, interpret: bool,
+              residual_dtype=jnp.float32):
     T, B, H4 = x_proj.shape
     H = H4 // 4
     dtype = x_proj.dtype
+    rdt = residual_dtype
     tile_b = B if B <= 256 else 256
     while B % tile_b:
         tile_b //= 2
@@ -108,9 +118,9 @@ def _fwd_call(x_proj, w_hh, h0, c0, mask, interpret: bool):
         out_specs=[y_spec, a_spec, y_spec, y_spec, s_spec, s_spec],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), dtype),    # ys (masked outputs)
-            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),  # acts i,f,g,o
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),   # h carry seq
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),   # c carry seq
+            jax.ShapeDtypeStruct((T, B, H4), rdt),     # acts i,f,g,o
+            jax.ShapeDtypeStruct((T, B, H), rdt),      # h carry seq
+            jax.ShapeDtypeStruct((T, B, H), rdt),      # c carry seq
             jax.ShapeDtypeStruct((B, H), dtype),       # h_T
             jax.ShapeDtypeStruct((B, H), dtype),       # c_T
         ],
@@ -140,15 +150,17 @@ def _bwd_kernel(dy_ref, dhT_ref, dcT_ref, acts_ref, cnew_ref,
     dc_carry = dc_s[:]
     m = m_ref[0, 0].astype(jnp.float32)[:, None]
 
-    acts = acts_ref[0]
+    # residuals may be stored bf16 (residual_dtype): cast on read, keep all
+    # arithmetic in f32 (no-op casts for the f32 default)
+    acts = acts_ref[0].astype(jnp.float32)
     H = dh_carry.shape[-1]
     i = acts[:, 0 * H:1 * H]
     f = acts[:, 1 * H:2 * H]
     g = acts[:, 2 * H:3 * H]
     o = acts[:, 3 * H:4 * H]
-    c_new = cnew_ref[0]
-    c_prev = cprev_ref[0]
-    h_prev = hprev_ref[0]
+    c_new = cnew_ref[0].astype(jnp.float32)
+    c_prev = cprev_ref[0].astype(jnp.float32)
+    h_prev = hprev_ref[0].astype(jnp.float32)
 
     tanh_c = jnp.tanh(c_new)
     dh_new = m * (dh_carry + dy_ref[0].astype(jnp.float32))
@@ -236,31 +248,35 @@ def _bwd_call(dy, dhT, dcT, acts, c_new_seq, h_prev_seq, c_prev_seq,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def lstm_layer_train(x_proj, w_hh, h0, c0, mask, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def lstm_layer_train(x_proj, w_hh, h0, c0, mask, interpret=False,
+                     residual_dtype=jnp.float32):
     """One LSTM layer-direction scan with a fused Pallas forward AND
     backward. Same contract as nn/lstm._lstm_scan: x_proj [T, B, 4H]
     (input projection incl. both biases), mask [T, B] (1.0 = valid frame;
     pass ones for full-length). Returns (ys, h_T, c_T) where masked steps
-    hold the carry and emit zeros."""
-    ys, _, _, _, hT, cT = _fwd_call(x_proj, w_hh, h0, c0, mask, interpret)
+    hold the carry and emit zeros. residual_dtype=jnp.bfloat16 halves the
+    stored-residual HBM traffic at ~1e-2 relative gradient noise."""
+    ys, _, _, _, hT, cT = _fwd_call(x_proj, w_hh, h0, c0, mask, interpret,
+                                    residual_dtype)
     return ys, hT, cT
 
 
-def _train_fwd(x_proj, w_hh, h0, c0, mask, interpret):
+def _train_fwd(x_proj, w_hh, h0, c0, mask, interpret,
+               residual_dtype=jnp.float32):
     ys, acts, hseq, cseq, hT, cT = _fwd_call(x_proj, w_hh, h0, c0, mask,
-                                             interpret)
+                                             interpret, residual_dtype)
     res = (acts, hseq, cseq, h0, c0, w_hh, mask)
     return (ys, hT, cT), res
 
 
-def _train_bwd(interpret, res, cots):
+def _train_bwd(interpret, residual_dtype, res, cots):
     acts, hseq, cseq, h0, c0, w_hh, mask = res
     dy, dhT, dcT = cots
-    f32 = jnp.float32
-    # prev-carry sequences: carry BEFORE each step
-    h_prev_seq = jnp.concatenate([h0.astype(f32)[None], hseq[:-1]])
-    c_prev_seq = jnp.concatenate([c0.astype(f32)[None], cseq[:-1]])
+    # prev-carry sequences: carry BEFORE each step (kept in the residual
+    # dtype; the backward kernel casts on read)
+    h_prev_seq = jnp.concatenate([h0.astype(hseq.dtype)[None], hseq[:-1]])
+    c_prev_seq = jnp.concatenate([c0.astype(cseq.dtype)[None], cseq[:-1]])
     dx, dw, dh0, dc0 = _bwd_call(dy, dhT, dcT, acts, cseq,
                                  h_prev_seq, c_prev_seq, w_hh, mask,
                                  interpret)
@@ -279,11 +295,13 @@ def lstm_forward_train_pallas(params_layers, x: jnp.ndarray,
                               lengths=None, h0c0=None,
                               bidirectional: bool = True,
                               interpret: bool = False,
-                              time_major: bool = False):
+                              time_major: bool = False,
+                              residual_dtype=jnp.float32):
     """Drop-in for nn.lstm.lstm_forward on the fused training kernels.
 
     Differentiable wrt params_layers / x / h0c0 with gradients computed by
     the fused backward kernel. Supports masked variable length.
+    residual_dtype=jnp.bfloat16: see module docstring (opt-in).
     """
     from mobileposer_tpu.nn.lstm import _reverse_by_length
 
@@ -318,7 +336,7 @@ def lstm_forward_train_pallas(params_layers, x: jnp.ndarray,
             sidx = li * n_dir + di
             ys, h_t, c_t = lstm_layer_train(x_proj, p["w_hh"],
                                             h0_all[sidx], c0_all[sidx],
-                                            mask, interpret)
+                                            mask, interpret, residual_dtype)
             if dname == "bwd":
                 ys = _reverse_by_length(ys, lengths)
             outs.append(ys)

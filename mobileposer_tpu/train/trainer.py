@@ -375,20 +375,29 @@ class TrainingManager:
     def __init__(self, finetune: Optional[str] = None,
                  fast_dev_run: bool = False, mesh=None,
                  hypers: Optional[C.TrainHypers] = None,
-                 dp_impl: str = "gspmd"):
+                 dp_impl: str = "gspmd", backend: str = "auto_train"):
         """dp_impl: 'gspmd' (default — XLA-partitioned step, exact
         sharded-vs-single agreement, XLA kernels when the mesh spans >1
         device) or 'shard_map' (explicitly partitioned per-device step —
         keeps the fused Pallas training kernels on multi-chip meshes;
-        per-shard masked-loss weighting, see make_shard_map_train_step)."""
+        per-shard masked-loss weighting, see make_shard_map_train_step).
+
+        backend: 'auto_train' (default — fused Pallas kernels on TPU,
+        grads pinned at 1e-5), 'auto_train_bf16res' (bf16 stored
+        residuals: +14-27% step throughput on v5e-1 for ~1e-2 relative
+        gradient noise, design.md §6.3), or 'xla'."""
         if dp_impl not in ("gspmd", "shard_map"):
             raise ValueError(f"dp_impl must be 'gspmd' or 'shard_map', "
                              f"got {dp_impl!r}")
+        if backend not in ("auto_train", "auto_train_bf16res", "xla"):
+            raise ValueError(f"backend must be 'auto_train', "
+                             f"'auto_train_bf16res' or 'xla', got {backend!r}")
         self.finetune = finetune
         self.fast_dev_run = fast_dev_run
         self.hypers = hypers or (C.finetune_hypers if finetune else C.train_hypers)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.dp_impl = dp_impl
+        self.backend = backend
 
     def train_module(self, module_name: str, dataset, checkpoint_path,
                      init_params: Optional[dict] = None,
@@ -430,12 +439,13 @@ class TrainingManager:
             # kernels on multi-chip meshes (GSPMD cannot partition a
             # pallas_call)
             train_step = make_shard_map_train_step(
-                module_name, h.lr, self.mesh, body_model)
+                module_name, h.lr, self.mesh, body_model,
+                backend=self.backend)
         else:
             # GSPMD step; fused kernels only single-device there (a
             # batch-sharded pallas_call would be replicated by GSPMD)
             train_step = make_train_step(module_name, h.lr, body_model,
-                                         backend=("auto_train" if n_dev == 1
+                                         backend=(self.backend if n_dev == 1
                                                   else "xla"))
         eval_step = make_eval_step(module_name, body_model)
 
@@ -659,10 +669,11 @@ def _concurrent_train_step_for(manager, body_model):
     n_dev = len(manager.mesh.devices.flatten())
     if n_dev == 1:
         return make_multi_train_step(manager.hypers.lr, body_model,
-                                     backend="auto_train")
+                                     backend=manager.backend)
     if manager.dp_impl == "shard_map":
         return make_multi_train_step(manager.hypers.lr, body_model,
-                                     backend="auto_train", mesh=manager.mesh)
+                                     backend=manager.backend,
+                                     mesh=manager.mesh)
     return make_multi_train_step(manager.hypers.lr, body_model,
                                  backend="xla")
 

@@ -151,3 +151,18 @@ def test_train_all_resume(dataset, body, tmp_path):
         for a, b in zip(jax.tree_util.tree_leaves(out["params"][m]),
                         jax.tree_util.tree_leaves(out2["params"][m])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_backend_option(dataset, body, tmp_path):
+    """backend='auto_train_bf16res' threads through the manager (resolves
+    to xla off-TPU — the kernel itself is covered by
+    tests/test_train_pallas.py::test_train_kernel_bf16_residuals);
+    invalid names are rejected."""
+    mgr = TrainingManager(fast_dev_run=True,
+                          hypers=C.TrainHypers(batch_size=4, num_epochs=1),
+                          backend="auto_train_bf16res")
+    out = mgr.train_all(dataset, tmp_path / "ckpt", body_model=body)
+    for m in MODULE_NAMES:
+        assert np.isfinite(out["history"][m]["val_loss"][0])
+    with pytest.raises(ValueError, match="backend"):
+        TrainingManager(backend="fp8_dreams")

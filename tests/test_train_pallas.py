@@ -93,3 +93,34 @@ def test_train_kernel_masked_final_state_semantics():
                                    np.asarray(h2[:, 0]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(cT[:, b]),
                                    np.asarray(c2[:, 0]), atol=1e-6)
+
+
+def test_train_kernel_bf16_residuals():
+    """residual_dtype=bf16 (backend='auto_train_bf16res'): outputs match
+    f32 exactly (the forward math is unchanged — only STORED residuals
+    round), gradients match XLA to bf16 precision (~1e-2 relative)."""
+    T, B, D, H = 11, 4, 6, 8
+    layers = _params(jax.random.PRNGKey(0), 2, D, H, True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, D)) * 0.5
+    lengths = jnp.asarray([11, 7, 1, 10])
+
+    def loss_of(backend_kwargs):
+        def loss(layers, x):
+            y, (h, c) = lstm_forward_train_pallas(
+                layers, x, lengths, None, bidirectional=True,
+                interpret=True, **backend_kwargs)
+            return (y ** 2).sum() + (h * c).sum()
+        return loss
+
+    v16, g16 = jax.value_and_grad(
+        loss_of({"residual_dtype": jnp.bfloat16}), argnums=(0, 1))(layers, x)
+    v32, g32 = jax.value_and_grad(
+        loss_of({}), argnums=(0, 1))(layers, x)
+    # forward identical: residual rounding does not touch the outputs
+    np.testing.assert_allclose(float(v16), float(v32), rtol=1e-6)
+    # grads at bf16 precision
+    for a, b in zip(jax.tree_util.tree_leaves(g16),
+                    jax.tree_util.tree_leaves(g32)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-3, float(np.abs(b).max()))
+        assert float(np.abs(a - b).max()) / denom < 3e-2
