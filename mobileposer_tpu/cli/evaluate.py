@@ -33,6 +33,10 @@ def main(argv=None) -> None:
                              "(or set ONLINE=1, reference-style)")
     parser.add_argument("--tran", action="store_true",
                         help="report translation drift at 1-7 m")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 inference dtype (+16% eval throughput "
+                             "on v5e-1; metrics computed f32 on cast-back "
+                             "outputs — parity runs should stay f32)")
     parser.add_argument("--online-mode", default="exact",
                         choices=["exact", "carry"],
                         help="run the ONLINE protocol through exact window "
@@ -60,7 +64,8 @@ def main(argv=None) -> None:
     evaluate_pose(net, params, view,
                   online=args.online or getenv_flag("ONLINE"),
                   evaluate_tran=args.tran,
-                  online_mode=args.online_mode)
+                  online_mode=args.online_mode,
+                  bf16=args.bf16)
 
 
 if __name__ == "__main__":

@@ -99,7 +99,8 @@ def _bucket_len(n: int, bucket: int) -> int:
     return max(bucket, -(-n // bucket) * bucket)
 
 
-def _predict_offline_batched(net, params, imus, bucket, max_batch):
+def _predict_offline_batched(net, params, imus, bucket, max_batch,
+                             dtype=np.float32):
     """Offline predictions for a list of [T_i, 60] sequences, batched by
     padded-length group. Returns [(pose [T_i,24,3,3], tran [T_i,3]), ...].
 
@@ -125,16 +126,18 @@ def _predict_offline_batched(net, params, imus, bucket, max_batch):
             for k, i in enumerate(chunk):
                 batch[k] = _pad_to_bucket(imus[i], P)
                 lengths[k] = ns[i]
-            pose, _, tran, _ = run(params, jnp.asarray(batch),
+            pose, _, tran, _ = run(params, jnp.asarray(batch, dtype),
                                    jnp.asarray(lengths))
-            pose, tran = np.asarray(pose), np.asarray(tran)
+            pose = np.asarray(pose, np.float32)
+            tran = np.asarray(tran, np.float32)
             for k, i in enumerate(chunk):
                 out[i] = (pose[k, :ns[i]], tran[k, :ns[i]])
     return out
 
 
 def _predict_online_batched(net, params, imus, num_future_frames, bucket,
-                            max_batch, mode: str = "exact"):
+                            max_batch, mode: str = "exact",
+                            dtype=np.float32):
     """ONLINE-protocol predictions for a list of sequences, batched as
     independent streams (reference protocol: evaluate.py:62-64 — per-frame
     streaming with `num_future_frames` of last-frame padding).
@@ -148,12 +151,16 @@ def _predict_online_batched(net, params, imus, num_future_frames, bucket,
     (models/streaming.py) — emission timing is identical, so the metrics
     quantify exactly the approximation's accuracy cost (the parity-day
     A/B for whether carry mode may serve)."""
+    import functools
+    jdt = jnp.dtype(dtype)
     if mode == "carry":
         run = jax.jit(net.forward_carry_sequence_batched)
-        init_state = net.init_carry_state_batched
+        init_state = functools.partial(net.init_carry_state_batched,
+                                       dtype=jdt)
     else:
         run = jax.jit(net.forward_online_sequence_batched)
-        init_state = net.init_online_state_batched
+        init_state = functools.partial(net.init_online_state_batched,
+                                       dtype=jdt)
     ns = [x.shape[0] + num_future_frames for x in imus]
     groups: Dict[int, List[int]] = {}
     for i, n in enumerate(ns):
@@ -170,8 +177,10 @@ def _predict_online_batched(net, params, imus, num_future_frames, bucket,
                                         axis=0)])
                 frames[:, k] = seq
             state = init_state(n_pad)
-            (poses, _, trans, _), _ = run(params, state, jnp.asarray(frames))
-            poses, trans = np.asarray(poses), np.asarray(trans)
+            (poses, _, trans, _), _ = run(params, state,
+                                          jnp.asarray(frames, dtype))
+            poses = np.asarray(poses, np.float32)
+            trans = np.asarray(trans, np.float32)
             for k, i in enumerate(chunk):
                 out[i] = (poses[num_future_frames:ns[i], k],
                           trans[num_future_frames:ns[i], k])
@@ -182,7 +191,8 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
                   online: bool = False, evaluate_tran: bool = False,
                   num_future_frames: int = C.model_config.future_frames,
                   verbose: bool = True, batch_sequences: bool = True,
-                  max_batch: int = 64, online_mode: str = "exact"):
+                  max_batch: int = 64, online_mode: str = "exact",
+                  bf16: bool = False):
     """Offline (and optionally online) evaluation over a sequence dataset
     (reference: evaluate.py:39-107).
 
@@ -195,6 +205,8 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
     False keeps the per-sequence path (same numbers, used as the oracle in
     tests).
     """
+    if bf16 and not batch_sequences:
+        raise ValueError("bf16=True requires batch_sequences=True")
     if online_mode not in ("exact", "carry"):
         # validate up front: an unknown mode must not silently fall back to
         # the exact path (a parity A/B would then compare exact vs exact
@@ -216,11 +228,21 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
     imus = [np.asarray(item[0], np.float32) for item in items]
 
     if batch_sequences:
+        # bf16: opt-in inference dtype (weights/state/frames) — measured
+        # +16% dataset-eval throughput on v5e-1 (design.md §6.2). Metric
+        # math stays f32 on the cast-back outputs; parity-day runs keep
+        # the f32 default.
+        dtype = np.float32
+        if bf16:
+            from mobileposer_tpu.nn import cast_params
+            params = cast_params(params, jnp.bfloat16)
+            dtype = jnp.bfloat16
         offline_preds = _predict_offline_batched(net, params, imus, _BUCKET,
-                                                 max_batch)
+                                                 max_batch, dtype=dtype)
         online_preds = (_predict_online_batched(net, params, imus,
                                                 num_future_frames, _BUCKET,
-                                                max_batch, mode=online_mode)
+                                                max_batch, mode=online_mode,
+                                                dtype=dtype)
                         if online else [None] * len(items))
     else:
         if online_mode != "exact":

@@ -69,3 +69,27 @@ def test_carry_vs_exact_bounded_on_trained_checkpoint(trained_params,
     # and the trained checkpoint must actually be trained: far better than
     # the untrained ~133 deg SIP baseline on in-domain data
     assert res["exact"][0, 0] < 60.0, "fixture does not look trained"
+
+
+def test_bf16_eval_close_to_f32_on_trained_checkpoint(trained_params,
+                                                      tmp_path):
+    """evaluate_pose(bf16=True): the +16%-throughput inference dtype must
+    stay metrically close to f32 on trained weights (design.md §6.2 bound
+    analysis; parity-day runs keep f32)."""
+    body = ParametricModel.synthetic(num_vertices=240)
+    f = tmp_path / "eval.pt"
+    make_synthetic_processed_dataset(f, n_sequences=2, T=100, seed=13,
+                                     body_model=body)
+    ds = PoseDataset(fold="test", evaluate="dip", body_model=body,
+                     data_files=[f])
+    view = EvalSequence(ds, combo="lw_rp")
+    net = MobilePoserNet(body)
+    res = {}
+    for label, flag in (("f32", False), ("bf16", True)):
+        out = evaluate_pose(net, trained_params, view, online=False,
+                            verbose=False, bf16=flag)
+        res[label] = np.asarray(out["offline"])
+    delta = res["bf16"] - res["f32"]
+    assert abs(delta[0, 0]) < 2.0, f"SIP bf16 delta {delta[0, 0]:.2f} deg"
+    assert abs(delta[3, 0]) < 1.5, f"pos bf16 delta {delta[3, 0]:.2f} cm"
+    assert np.isfinite(res["bf16"]).all()
