@@ -171,14 +171,9 @@ def bench_combo_streaming(net, params, rtt):
             **_flops_fields(fps, streaming_flops_per_emitted_frame())}
 
 
-def bench_train_throughput(net, params, rtt):
-    """Config 5: training-step throughput per module (windows/sec)."""
-    from mobileposer_tpu.train import init_train_state, make_optimizer
-    from mobileposer_tpu.train.trainer import loss_fn_for
-    import optax
-    B, T, R = 256, 125, 10
-    rng = np.random.RandomState(5)
-    batch = {
+def _train_batch(B, T, rng):
+    """Synthetic training batch shared by every train-bench config."""
+    return {
         "imu": jnp.asarray(rng.randn(B, T, 60), jnp.float32) * 0.1,
         "joints": jnp.asarray(rng.randn(B, T, 72), jnp.float32) * 0.1,
         "pose_r6d": jnp.tile(jnp.array([1, 0, 0, 0, 1, 0], jnp.float32),
@@ -187,61 +182,24 @@ def bench_train_throughput(net, params, rtt):
         "contacts": (jnp.asarray(rng.rand(B, T, 2)) > 0.5).astype(jnp.float32),
         "lengths": jnp.full((B,), T, jnp.int32),
     }
-    out, mfu, spreads = {}, {}, {}
-    for name in ("joints", "poser", "footcontact", "velocity"):
-        state = init_train_state(name, jax.random.PRNGKey(0), 1e-3)
-        opt = make_optimizer(name, 1e-3)
-        loss_fn = loss_fn_for(name, net.body_model if name == "poser" else None)
-
-        @jax.jit
-        def run(params, opt_state, batch, _loss_fn=loss_fn, _opt=opt):
-            def body(i, carry):
-                p, o = carry
-                key = jax.random.fold_in(jax.random.PRNGKey(7), i)
-                loss, grads = jax.value_and_grad(
-                    lambda pp: _loss_fn(pp, batch, key, train=True))(p)
-                updates, o = _opt.update(grads, o, p)
-                p = optax.apply_updates(p, updates)
-                return (p, o)
-            p, o = jax.lax.fori_loop(0, R, body, (params, opt_state))
-            return jax.tree_util.tree_leaves(p)[0].sum()
-
-        wall, spread = _timed(run, state.params, state.opt_state, batch, reps=3)
-        dt = max(wall - rtt, 1e-9) / R
-        out[name] = round(B / dt, 1)
-        mfu[name] = round(100.0 * (B / dt) * T * training_flops_per_frame(name)
-                          / DEFAULT_PEAK, 2)
-        spreads[name] = spread["wall_spread_pct"]
-    return {"metric": "train_windows_per_sec", "value": out,
-            "unit": "windows(125f)/s", "batch": B, "pct_of_peak": mfu,
-            "wall_spread_pct": spreads}
 
 
-def bench_train_bf16res(net, params, rtt):
-    """Per-module training throughput with bf16 stored residuals
-    (backend='auto_train_bf16res'): the BPTT chain is bandwidth-bound on
-    its residuals, so halving their bytes measured +14-27% per step
-    (design.md §6.3); convergence validated identical to f32."""
+def _bench_train_modules(net, rtt, backend, metric):
+    """Per-module timed train steps (windows/s + MFU + spread) for a given
+    kernel backend — shared by train_throughput (f32 residuals) and
+    train_bf16res."""
     from mobileposer_tpu.train import init_train_state, make_optimizer
     from mobileposer_tpu.train.trainer import loss_fn_for
     import optax
     B, T, R = 256, 125, 10
-    rng = np.random.RandomState(5)
-    batch = {
-        "imu": jnp.asarray(rng.randn(B, T, 60), jnp.float32) * 0.1,
-        "joints": jnp.asarray(rng.randn(B, T, 72), jnp.float32) * 0.1,
-        "pose_r6d": jnp.tile(jnp.array([1, 0, 0, 0, 1, 0], jnp.float32),
-                             (B, T, 24, 1)),
-        "vels": jnp.asarray(rng.randn(B, T, 72), jnp.float32),
-        "contacts": (jnp.asarray(rng.rand(B, T, 2)) > 0.5).astype(jnp.float32),
-        "lengths": jnp.full((B,), T, jnp.int32),
-    }
+    batch = _train_batch(B, T, np.random.RandomState(5))
     out, mfu, spreads = {}, {}, {}
     for name in ("joints", "poser", "footcontact", "velocity"):
         state = init_train_state(name, jax.random.PRNGKey(0), 1e-3)
         opt = make_optimizer(name, 1e-3)
-        loss_fn = loss_fn_for(name, net.body_model if name == "poser" else None,
-                              backend="auto_train_bf16res")
+        loss_fn = loss_fn_for(name,
+                              net.body_model if name == "poser" else None,
+                              backend=backend)
 
         @jax.jit
         def run(params, opt_state, batch, _loss_fn=loss_fn, _opt=opt):
@@ -263,9 +221,24 @@ def bench_train_bf16res(net, params, rtt):
         mfu[name] = round(100.0 * (B / dt) * T * training_flops_per_frame(name)
                           / DEFAULT_PEAK, 2)
         spreads[name] = spread["wall_spread_pct"]
-    return {"metric": "train_bf16res_windows_per_sec", "value": out,
-            "unit": "windows(125f)/s", "batch": B, "pct_of_peak": mfu,
-            "wall_spread_pct": spreads}
+    return {"metric": metric, "value": out, "unit": "windows(125f)/s",
+            "batch": B, "pct_of_peak": mfu, "wall_spread_pct": spreads}
+
+
+def bench_train_throughput(net, params, rtt):
+    """Config 5: training-step throughput per module (windows/sec), f32
+    residuals (the 1e-5-pinned default kernels)."""
+    return _bench_train_modules(net, rtt, "auto_train",
+                                "train_windows_per_sec")
+
+
+def bench_train_bf16res(net, params, rtt):
+    """Per-module training throughput with bf16 stored residuals
+    (backend='auto_train_bf16res'): the BPTT chain is bandwidth-bound on
+    its residuals, so halving their bytes measured +14-27% per step
+    (design.md §6.3); convergence validated identical to f32."""
+    return _bench_train_modules(net, rtt, "auto_train_bf16res",
+                                "train_bf16res_windows_per_sec")
 
 
 def bench_train_concurrent(net, params, rtt):
@@ -279,16 +252,7 @@ def bench_train_concurrent(net, params, rtt):
                                                loss_fn_for)
     import optax
     B, T, R = 256, 125, 10
-    rng = np.random.RandomState(5)
-    batch = {
-        "imu": jnp.asarray(rng.randn(B, T, 60), jnp.float32) * 0.1,
-        "joints": jnp.asarray(rng.randn(B, T, 72), jnp.float32) * 0.1,
-        "pose_r6d": jnp.tile(jnp.array([1, 0, 0, 0, 1, 0], jnp.float32),
-                             (B, T, 24, 1)),
-        "vels": jnp.asarray(rng.randn(B, T, 72), jnp.float32),
-        "contacts": (jnp.asarray(rng.rand(B, T, 2)) > 0.5).astype(jnp.float32),
-        "lengths": jnp.full((B,), T, jnp.int32),
-    }
+    batch = _train_batch(B, T, np.random.RandomState(5))
     opts = {n: make_optimizer(n, 1e-3) for n in MODULE_NAMES}
     loss_fns = {n: loss_fn_for(n, net.body_model) for n in MODULE_NAMES}
     states = {n: init_train_state(n, jax.random.PRNGKey(0), 1e-3)

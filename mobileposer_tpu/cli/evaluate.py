@@ -34,7 +34,7 @@ def main(argv=None) -> None:
     parser.add_argument("--tran", action="store_true",
                         help="report translation drift at 1-7 m")
     parser.add_argument("--bf16", action="store_true",
-                        help="bf16 inference dtype (+16% eval throughput "
+                        help="bf16 inference dtype (+16%% eval throughput "
                              "on v5e-1; metrics computed f32 on cast-back "
                              "outputs — parity runs should stay f32)")
     parser.add_argument("--online-mode", default="exact",

@@ -37,7 +37,7 @@ def main(argv=None) -> None:
                              "wandb:<project> (JSONL in the checkpoint dir "
                              "is always written)")
     parser.add_argument("--bf16-residuals", action="store_true",
-                        help="store BPTT residuals in bf16 (+14-27% step "
+                        help="store BPTT residuals in bf16 (+14-27%% step "
                              "throughput on v5e-1, ~1e-2 relative gradient "
                              "noise — design.md §6.3)")
     parser.add_argument("--concurrent", action="store_true",

@@ -270,13 +270,13 @@ def lstm_forward(params_layers, x: jnp.ndarray,
         backend = resolve_train_backend(backend)
     if backend in ("pallas", "pallas_train", "pallas_train_bf16res"):
         try:
-            on_tpu = jax.default_backend() == "tpu"
+            platform = jax.default_backend()
         except Exception:
-            on_tpu = False
-        if not on_tpu:
+            platform = "<unavailable>"
+        if platform != "tpu":
             raise ValueError(
                 f"backend={backend!r} forces the Pallas TPU kernels but "
-                f"jax.default_backend() is {jax.default_backend()!r}; they "
+                f"jax.default_backend() is {platform!r}; they "
                 "do not lower on this platform. Use 'auto'/'auto_train' "
                 "(falls back to XLA automatically) or call the "
                 "mobileposer_tpu.ops kernels directly with interpret=True "

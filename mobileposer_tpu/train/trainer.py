@@ -365,6 +365,25 @@ def get_checkpoint_path(root=None) -> Path:
     return root / str(max(nums) + 1 if nums else 1)
 
 
+def _train_val_split(n: int, seed: int, val_fraction: float):
+    """Deterministic sample-level split shared by train_module/train_all
+    (reference: data.py:151-153). Returns (val_idx, train_idx, rng)."""
+    rng_np = np.random.default_rng(seed)
+    perm = rng_np.permutation(n)
+    n_val = max(1, int(n * val_fraction))
+    return perm[:n_val], perm[n_val:], rng_np
+
+
+def _epoch_batches(dataset, idxs, batch_size: int, W: int, shuffle_rng):
+    """One epoch of assembled batches over `idxs` (drop-last semantics);
+    THE single batching implementation for both training recipes."""
+    order = (shuffle_rng.permutation(len(idxs)) if shuffle_rng
+             else np.arange(len(idxs)))
+    bs = max(1, min(batch_size, len(idxs)))
+    for b0 in range(0, len(order) - bs + 1, bs):
+        yield dataset._assemble(idxs[order[b0:b0 + bs]], W)
+
+
 # ---------------------------------------------------------------------------
 # Training manager (reference: train.py:33-97)
 # ---------------------------------------------------------------------------
@@ -449,12 +468,8 @@ class TrainingManager:
                                                   else "xla"))
         eval_step = make_eval_step(module_name, body_model)
 
-        # deterministic sample-level split
-        rng_np = np.random.default_rng(seed)
-        n = len(dataset)
-        perm = rng_np.permutation(n)
-        n_val = max(1, int(n * val_fraction))
-        val_idx, train_idx = perm[:n_val], perm[n_val:]
+        val_idx, train_idx, rng_np = _train_val_split(len(dataset), seed,
+                                                      val_fraction)
 
         W = C.datasets.window_length
         epochs = 1 if self.fast_dev_run else h.num_epochs
@@ -466,10 +481,7 @@ class TrainingManager:
             sink = MultiSink(sink.sinks + [JSONLSink(log_file)])
 
         def batches_from(idxs, shuffle_rng):
-            order = shuffle_rng.permutation(len(idxs)) if shuffle_rng else np.arange(len(idxs))
-            bs = max(1, min(h.batch_size, len(idxs)))
-            for b0 in range(0, len(order) - bs + 1, bs):
-                yield dataset._assemble(idxs[order[b0:b0 + bs]], W)
+            return _epoch_batches(dataset, idxs, h.batch_size, W, shuffle_rng)
 
         from mobileposer_tpu.data.prefetch import BatchPrefetcher
 
@@ -544,9 +556,11 @@ class TrainingManager:
         recorded in design.md §6.2.
 
         `resume=True` restores each module's `train_state.npz` under
-        `checkpoint_path/<module>/` (written every 5 epochs + last); all
-        modules must be resumable to the same epoch or training restarts from
-        the earliest common epoch.
+        `checkpoint_path/<module>/` (written every 5 epochs + last).
+        Restores only from a CONSISTENT snapshot set: every module present
+        at the SAME epoch. A mixed-epoch set (crash mid-save) cannot be
+        resumed without double-applying epochs to the further-ahead
+        modules, so training restarts fresh instead.
         """
         h = self.hypers
         seed = h.seed if seed is None else seed
@@ -567,9 +581,15 @@ class TrainingManager:
                     assert mod == n
                     states[n] = st
                     epochs_found.append(nxt)
-            if len(epochs_found) == len(module_names):
-                start_epoch = min(epochs_found)
+            if (len(epochs_found) == len(module_names)
+                    and len(set(epochs_found)) == 1):
+                start_epoch = epochs_found[0]
             else:
+                if epochs_found:
+                    print(json.dumps({
+                        "resume": "inconsistent train_state snapshots "
+                                  f"(epochs {sorted(set(epochs_found))}); "
+                                  "restarting from scratch"}))
                 states = {}
         if not states:
             states = {n: init_train_state(n, k, h.lr)
@@ -578,14 +598,12 @@ class TrainingManager:
         states = {n: s._replace(params=replicate_params(s.params, self.mesh))
                   for n, s in states.items()}
 
-        train_step = _concurrent_train_step_for(self, body_model)
+        train_step = _concurrent_train_step_for(self, body_model,
+                                                module_names)
         eval_step = make_multi_eval_step(body_model, module_names)
 
-        rng_np = np.random.default_rng(seed)
-        n = len(dataset)
-        perm = rng_np.permutation(n)
-        n_val = max(1, int(n * val_fraction))
-        val_idx, train_idx = perm[:n_val], perm[n_val:]
+        val_idx, train_idx, rng_np = _train_val_split(len(dataset), seed,
+                                                      val_fraction)
 
         W = C.datasets.window_length
         epochs = 1 if self.fast_dev_run else h.num_epochs
@@ -596,11 +614,7 @@ class TrainingManager:
             sink = MultiSink(sink.sinks + [JSONLSink(log_file)])
 
         def batches_from(idxs, shuffle_rng):
-            order = (shuffle_rng.permutation(len(idxs)) if shuffle_rng
-                     else np.arange(len(idxs)))
-            bs = max(1, min(h.batch_size, len(idxs)))
-            for b0 in range(0, len(order) - bs + 1, bs):
-                yield dataset._assemble(idxs[order[b0:b0 + bs]], W)
+            return _epoch_batches(dataset, idxs, h.batch_size, W, shuffle_rng)
 
         from mobileposer_tpu.data.prefetch import BatchPrefetcher
 
@@ -661,7 +675,8 @@ class TrainingManager:
 
 
 
-def _concurrent_train_step_for(manager, body_model):
+def _concurrent_train_step_for(manager, body_model,
+                               module_names=MODULE_NAMES):
     """The right make_multi_train_step flavor for the manager's mesh:
     single-device → fused Pallas kernels; gspmd multi → XLA kernels with
     GSPMD-sharded inputs; shard_map multi → explicitly partitioned with
@@ -669,13 +684,15 @@ def _concurrent_train_step_for(manager, body_model):
     n_dev = len(manager.mesh.devices.flatten())
     if n_dev == 1:
         return make_multi_train_step(manager.hypers.lr, body_model,
-                                     backend=manager.backend)
+                                     backend=manager.backend,
+                                     module_names=module_names)
     if manager.dp_impl == "shard_map":
         return make_multi_train_step(manager.hypers.lr, body_model,
                                      backend=manager.backend,
-                                     mesh=manager.mesh)
+                                     mesh=manager.mesh,
+                                     module_names=module_names)
     return make_multi_train_step(manager.hypers.lr, body_model,
-                                 backend="xla")
+                                 backend="xla", module_names=module_names)
 
 
 def combine_weights(checkpoint_path, out_path=None,

@@ -29,20 +29,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def train_demo_checkpoint(epochs: int, batch_size: int = 64):
-    """Train all four modules on the synthetic fixture; return combined path
-    (same recipe as scripts/convergence_demo.py)."""
+def ensure_fixture():
+    """(body, fixture path) for the synthetic demo dataset — ONE place owns
+    the n_sequences/T shape so --checkpoint runs evaluate on the same data
+    the train-from-scratch path produced."""
     from mobileposer_tpu import config as C
-    from mobileposer_tpu.data import PoseDataset
     from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
     from mobileposer_tpu.kinematics import ParametricModel
-    from mobileposer_tpu.train.trainer import TrainingManager, combine_weights
-
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
     fixture = C.paths.processed_datasets / "synthetic.pt"
     if not fixture.exists():
         fixture.parent.mkdir(parents=True, exist_ok=True)
         make_synthetic_processed_dataset(fixture, n_sequences=8, T=400)
+    return body, fixture
+
+
+def train_demo_checkpoint(epochs: int, batch_size: int = 64):
+    """Train all four modules on the synthetic fixture; return combined path
+    (same recipe as scripts/convergence_demo.py)."""
+    from mobileposer_tpu import config as C
+    from mobileposer_tpu.data import PoseDataset
+    from mobileposer_tpu.train.trainer import TrainingManager, combine_weights
+
+    body, fixture = ensure_fixture()
     ds = PoseDataset(fold="train", body_model=body, data_files=[fixture])
     mgr = TrainingManager(hypers=C.TrainHypers(batch_size=batch_size,
                                                num_epochs=epochs))
@@ -95,7 +104,7 @@ def save_fixture(params, path):
     from mobileposer_tpu.nn.torch_convert import export_to_npz
     f16 = jax.tree_util.tree_map(
         lambda x: np.asarray(x).astype(np.float16), params)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     export_to_npz(f16, path)
     print(f"fixture saved: {path} "
           f"({os.path.getsize(path) / 1e6:.1f} MB)", flush=True)
@@ -115,15 +124,7 @@ def main(argv=None):
     from mobileposer_tpu.train.trainer import load_combined_weights
 
     if args.checkpoint:
-        from mobileposer_tpu import config as C
-        from mobileposer_tpu.data.fixtures import (
-            make_synthetic_processed_dataset)
-        from mobileposer_tpu.kinematics import ParametricModel
-        body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
-        fixture = C.paths.processed_datasets / "synthetic.pt"
-        if not fixture.exists():
-            fixture.parent.mkdir(parents=True, exist_ok=True)
-            make_synthetic_processed_dataset(fixture, n_sequences=8, T=400)
+        body, fixture = ensure_fixture()
         params = load_combined_weights(args.checkpoint)
         combined = args.checkpoint
     else:

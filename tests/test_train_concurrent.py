@@ -166,3 +166,36 @@ def test_trainer_backend_option(dataset, body, tmp_path):
         assert np.isfinite(out["history"][m]["val_loss"][0])
     with pytest.raises(ValueError, match="backend"):
         TrainingManager(backend="fp8_dreams")
+
+
+def test_train_all_module_subset(dataset, body, tmp_path):
+    """train_all(module_names=subset) builds the fused step for exactly
+    that subset (review r3: it used to close over the full MODULE_NAMES
+    and KeyError)."""
+    mgr = TrainingManager(fast_dev_run=True,
+                          hypers=C.TrainHypers(batch_size=4, num_epochs=1))
+    subset = ("joints", "poser")
+    out = mgr.train_all(dataset, tmp_path / "ckpt", body_model=body,
+                        module_names=subset)
+    assert set(out["history"]) == set(subset)
+    for m in subset:
+        assert np.isfinite(out["history"][m]["val_loss"][0])
+
+
+def test_train_all_resume_rejects_mixed_epochs(dataset, body, tmp_path):
+    """A mixed-epoch snapshot set (crash mid-save) must restart fresh, not
+    resume with modules at different epochs (review r3)."""
+    from mobileposer_tpu.train.trainer import (restore_training_state,
+                                               save_training_state)
+    hyp = C.TrainHypers(batch_size=4, num_epochs=2)
+    mgr = TrainingManager(hypers=hyp)
+    mgr.train_all(dataset, tmp_path / "ckpt", body_model=body)
+    # corrupt one module's snapshot epoch to simulate a mid-save crash
+    p = tmp_path / "ckpt" / "joints" / "train_state.npz"
+    st, mod, _ = restore_training_state(p, hyp.lr)
+    save_training_state(p, mod, st, epoch=0)
+    out = mgr.train_all(dataset, tmp_path / "ckpt", body_model=body,
+                        resume=True)
+    # fresh restart: all epochs retrained
+    for m in MODULE_NAMES:
+        assert len(out["history"][m]["train_loss"]) == hyp.num_epochs
