@@ -23,6 +23,10 @@ def main(argv=None) -> None:
                              "N seconds of ingest")
     parser.add_argument("--native", action="store_true",
                         help="use the C++ UDP ingest (GIL-free ring buffers)")
+    parser.add_argument("--cubes", action="store_true",
+                        help="open the pygame orientation-cube window "
+                             "(reference visualizer.py equivalent; the "
+                             "textual monitor stays available headless)")
     args = parser.parse_args(argv)
 
     frontend = SensorFrontend(log=args.log, native=args.native)
@@ -38,10 +42,21 @@ def main(argv=None) -> None:
             print("calibrated device inertial frames")
 
         threading.Thread(target=_cal, daemon=True).start()
+    viewer = None
+    if args.cubes:
+        from mobileposer_tpu import config as C
+        from mobileposer_tpu.viz.live_viewer import OrientationCubeViewer
+        names = [n for n, _ in sorted(C.sensor.id_map.items(),
+                                      key=lambda kv: kv[1])]
+        viewer = OrientationCubeViewer(n_devices=len(names), names=names)
     try:
-        frontend.run(duration=args.duration)
+        frontend.run(duration=args.duration,
+                     on_tick=viewer.render_sensor_data if viewer else None)
     except KeyboardInterrupt:
         frontend.stop()
+    finally:
+        if viewer is not None:
+            viewer.close()
 
 
 if __name__ == "__main__":

@@ -23,6 +23,10 @@ def main(argv=None) -> None:
     parser.add_argument("--model", required=True)
     parser.add_argument("--vis", action="store_true",
                         help="stream pose to a Unity viewer on TCP :8889")
+    parser.add_argument("--local-vis", action="store_true",
+                        help="open a local pygame skeleton window "
+                             "(viz/live_viewer.py — reference "
+                             "smpl_viewer.py equivalent, no GL needed)")
     parser.add_argument("--save", action="store_true",
                         help="record the session to dev data")
     parser.add_argument("--combo", default="lw_rp",
@@ -62,10 +66,15 @@ def main(argv=None) -> None:
         unity = UnityExporter()
         print("Waiting for Unity viewer to connect on :8889 ...")
         unity.accept()
+    viewer = None
+    if args.local_vis:
+        from mobileposer_tpu.viz.live_viewer import LiveSkeletonViewer
+        viewer = LiveSkeletonViewer(body)
 
     print("Estimating poses. Ctrl-C to stop.")
     try:
         recorded = poser.run(duration=args.duration, unity=unity,
+                             on_frame=viewer.on_frame if viewer else None,
                              record=args.save, debug=args.debug)
     except KeyboardInterrupt:
         # interrupt escaped run() (rare window): salvage the live buffers
@@ -75,6 +84,8 @@ def main(argv=None) -> None:
     finally:
         if unity is not None:
             unity.close()
+        if viewer is not None:
+            viewer.close()
     if args.save and recorded:
         path = save_session(recorded, poser.calibration)
         print(f"Session saved to {path}")

@@ -211,15 +211,25 @@ class SensorFrontend:
         self._handle(device_id, curr_acc, curr_ori, timestamps, receive_time)
         return True
 
-    def run(self, duration: Optional[float] = None) -> None:
+    def run(self, duration: Optional[float] = None,
+            on_tick=None, tick_interval: float = 0.1) -> None:
+        """Main loop. `on_tick(sensor_data)` fires at most every
+        `tick_interval` seconds on this thread — the hook the live
+        orientation-cube viewer (viz/live_viewer.py) and other observers
+        attach to."""
         if self.native is not None:
             self.native.start()
         else:
             self.receiver.start()
         t0 = time.time()
+        last_tick = 0.0
         try:
             while not self._stop.is_set():
                 self.step()
+                if (on_tick is not None
+                        and time.time() - last_tick >= tick_interval):
+                    on_tick(self.sensor_data)
+                    last_tick = time.time()
                 if duration is not None and time.time() - t0 > duration:
                     break
         finally:
