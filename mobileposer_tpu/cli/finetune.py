@@ -33,6 +33,9 @@ def main(argv=None) -> None:
                         help="base-training run dir with per-module "
                              "checkpoints")
     parser.add_argument("--fast-dev-run", action="store_true")
+    parser.add_argument("--concurrent", action="store_true",
+                        help="finetune joints+poser together in one jit "
+                             "region (TrainingManager.train_all)")
     args = parser.parse_args(argv)
 
     ckpt_dir = Path(args.checkpoint_dir)
@@ -50,16 +53,24 @@ def main(argv=None) -> None:
 
     mgr = TrainingManager(finetune=args.dataset,
                           fast_dev_run=args.fast_dev_run)
+    init = {}
     for name in FINETUNE_MODULES:
         best = get_best_checkpoint(init_dir / name)
         if best is None:
             raise SystemExit(f"no init checkpoint for {name} in "
                              f"{init_dir / name}")
+        init[name] = load_from_npz(best)
         print(f"Finetuning {name} from {best}")
-        mgr.train_module(name, dataset, out_dir,
-                         init_params=load_from_npz(best),
-                         body_model=body if name == "poser" else None,
-                         log_file=str(out_dir / "metrics.jsonl"))
+    if args.concurrent:
+        mgr.train_all(dataset, out_dir, body_model=body,
+                      module_names=FINETUNE_MODULES, init_params=init,
+                      log_file=str(out_dir / "metrics.jsonl"))
+    else:
+        for name in FINETUNE_MODULES:
+            mgr.train_module(name, dataset, out_dir,
+                             init_params=init[name],
+                             body_model=body if name == "poser" else None,
+                             log_file=str(out_dir / "metrics.jsonl"))
     print(f"Finetuned checkpoints in {out_dir}")
 
 

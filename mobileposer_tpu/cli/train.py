@@ -48,9 +48,6 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     if args.concurrent and args.module:
         parser.error("--concurrent trains all modules; drop --module")
-    if args.concurrent and args.init_from:
-        parser.error("--concurrent does not take --init-from (use the "
-                     "sequential recipe for finetune-style init)")
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
     dataset = PoseDataset(fold="train", finetune=args.finetune,
@@ -78,7 +75,8 @@ def main(argv=None) -> None:
         print("-" * 50)
         mgr.train_all(dataset, ckpt_path, body_model=body,
                       log_file=str(ckpt_path / "metrics.jsonl"),
-                      metrics=args.metrics, resume=args.resume)
+                      metrics=args.metrics, resume=args.resume,
+                      init_params=init_params)
         if args.combine:
             out = combine_weights(ckpt_path)
             print(f"Combined weights written to {out}")

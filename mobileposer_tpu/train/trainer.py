@@ -544,6 +544,7 @@ class TrainingManager:
                    metrics: Optional[str] = None,
                    log_file: Optional[str] = None,
                    module_names=MODULE_NAMES,
+                   init_params: Optional[Dict[str, dict]] = None,
                    resume: bool = False) -> Dict:
         """Train ALL modules concurrently in one pass over the data.
 
@@ -594,6 +595,14 @@ class TrainingManager:
         if not states:
             states = {n: init_train_state(n, k, h.lr)
                       for n, k in zip(module_names, init_keys)}
+            if init_params:
+                # warm-start (finetune recipe): replace params, keep fresh
+                # optimizer state — same semantics as train_module's
+                # init_params
+                for n, p in init_params.items():
+                    if n in states:
+                        states[n] = states[n]._replace(
+                            params=jax.tree_util.tree_map(jnp.asarray, p))
         n_dev = len(self.mesh.devices.flatten())
         states = {n: s._replace(params=replicate_params(s.params, self.mesh))
                   for n, s in states.items()}

@@ -194,3 +194,28 @@ Positional Error (cm): 7.00 (+/- 4.00)
     assert sections["offline"]["sip_deg"] == [19.46, 12.34]
     assert sections["offline"]["pos_cm"] == [6.64, 3.51]
     assert sections["online"]["sip_deg"] == [21.0, 13.0]
+
+
+def test_cli_finetune_concurrent(workspace, datasets, body, monkeypatch):
+    """Finetune recipe through the concurrent trainer: joints+poser warm-
+    started from the base run's best checkpoints, trained in one jit
+    region, and combinable via combine_weights(finetune=...)."""
+    import mobileposer_tpu.kinematics.smpl as smpl_mod
+    monkeypatch.setattr(
+        smpl_mod.ParametricModel, "from_file_or_synthetic",
+        classmethod(lambda cls, f, **kw: body))
+    from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
+    ft_data = workspace / "processed" / "eval" / "dip_train.pt"
+    if not ft_data.exists():
+        make_synthetic_processed_dataset(ft_data, n_sequences=2, T=150,
+                                         seed=3, body_model=body)
+    from mobileposer_tpu.cli import finetune as ft_cli
+    ft_cli.main(["--dataset", "dip", "--checkpoint-dir",
+                 str(workspace / "ckpt"), "--fast-dev-run", "--concurrent"])
+    out_dir = workspace / "ckpt" / "finetuned_dip"
+    assert list((out_dir / "joints").glob("epoch=*.npz"))
+    assert list((out_dir / "poser").glob("epoch=*.npz"))
+    from mobileposer_tpu.train import combine_weights, load_combined_weights
+    combined = combine_weights(workspace / "ckpt", finetune="dip")
+    assert set(load_combined_weights(combined)) == {
+        "joints", "poser", "footcontact", "velocity"}
