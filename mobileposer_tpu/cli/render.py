@@ -1,8 +1,8 @@
-"""Render a MotionDump npz bundle to PNG frames / GIF (headless equivalent
-of the reference's live viewer, smpl_viewer.py:23-43).
+"""Render a MotionDump npz bundle to PNG frames / GIF, or play it in a
+live pygame window (reference viewer, smpl_viewer.py:23-43).
 
     python -m mobileposer_tpu.cli.render saved_motions/view.npz \
-        --out render_out [--stride 5] [--gif]
+        --out render_out [--stride 5] [--gif] [--live [--fps 30]]
 """
 
 from __future__ import annotations
@@ -23,9 +23,32 @@ def main(argv=None) -> None:
                         help="render every Nth frame")
     parser.add_argument("--gif", action="store_true",
                         help="also assemble an animated GIF")
+    parser.add_argument("--live", action="store_true",
+                        help="play in a pygame window instead of writing "
+                             "files (pred-vs-GT side by side when the "
+                             "bundle has ground truth)")
+    parser.add_argument("--fps", type=int, default=30)
     args = parser.parse_args(argv)
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
+    if args.live:
+        import numpy as np
+        from mobileposer_tpu.viz.live_viewer import LiveSkeletonViewer
+        from mobileposer_tpu.viz.render import joints_from_pose
+        bundle = dict(np.load(args.bundle))
+        joints_p = joints_from_pose(body, bundle["pose_p"],
+                                    bundle.get("tran_p"))
+        joints_t = (joints_from_pose(body, bundle["pose_t"],
+                                     bundle.get("tran_t"))
+                    if "pose_t" in bundle else None)
+        viewer = LiveSkeletonViewer(body)
+        try:
+            shown = viewer.play(joints_p, fps=args.fps,
+                                joints_gt_seq=joints_t)
+        finally:
+            viewer.close()
+        print(f"played {shown} frames")
+        return
     out = render_motion(args.bundle, args.out, body=body,
                         stride=args.stride, gif=args.gif)
     print(f"rendered to {out}")

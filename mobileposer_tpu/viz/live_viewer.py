@@ -128,6 +128,25 @@ class LiveSkeletonViewer:
         j = np.asarray(joints, np.float32).reshape(24, 3)
         self.update(j - j[:1])          # root-centered, like the reference
 
+    def play(self, joints_seq: np.ndarray, fps: int = 30,
+             joints_gt_seq: Optional[np.ndarray] = None) -> int:
+        """Play a whole motion ([T,24,3] joint positions, optional GT) at
+        `fps` — the reference's view-a-dataset-sequence use case
+        (example.py -> Viewer -> SMPLViewer). Returns frames shown
+        (stops early if the window is closed)."""
+        clock = self._pg.time.Clock()
+        shown = 0
+        for t in range(len(joints_seq)):
+            try:
+                self.update(joints_seq[t],
+                            None if joints_gt_seq is None
+                            else joints_gt_seq[t])
+            except StopIteration:
+                break
+            shown += 1
+            clock.tick(fps)
+        return shown
+
     def pixels(self) -> np.ndarray:
         """[W,H,3] snapshot (test hook; works under the dummy driver)."""
         return self._pg.surfarray.array3d(self.screen)

@@ -93,3 +93,31 @@ def test_orientation_cubes_sensor_data_adapter():
         assert v.pixels().sum() > 0
     finally:
         v.close()
+
+
+def test_play_motion_and_render_cli_live(body, tmp_path, capsys):
+    """play() shows a whole sequence; `cli/render --live` drives it from a
+    MotionDump bundle (pred + GT side by side)."""
+    from mobileposer_tpu.viz.live_viewer import LiveSkeletonViewer
+    j = _tpose_joints(body)
+    seq = np.stack([j + np.array([0, 0.01 * t, 0], np.float32)
+                    for t in range(4)])
+    v = LiveSkeletonViewer(body, size=(200, 160))
+    try:
+        assert v.play(seq, fps=1000) == 4
+    finally:
+        v.close()
+
+    eye = np.tile(np.eye(3, dtype=np.float32), (4, 24, 1, 1))
+    bundle = tmp_path / "view.npz"
+    np.savez(bundle, pose_p=eye, pose_t=eye,
+             tran_p=np.zeros((4, 3), np.float32),
+             tran_t=np.zeros((4, 3), np.float32))
+    import mobileposer_tpu.kinematics.smpl as smpl_mod
+    import unittest.mock as mock
+    from mobileposer_tpu.cli import render as render_cli
+    with mock.patch.object(
+            smpl_mod.ParametricModel, "from_file_or_synthetic",
+            classmethod(lambda cls, f, **kw: body)):
+        render_cli.main([str(bundle), "--live", "--fps", "1000"])
+    assert "played 4 frames" in capsys.readouterr().out
