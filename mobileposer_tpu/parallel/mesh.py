@@ -47,11 +47,13 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
 
     batch_dim=1 handles time-major batches ([T, B, ...]); 1-D arrays
     (per-sequence `lengths`) are always sharded on their only axis."""
-    def put(x):
+    def sharding_of(x):
         d = 0 if np.ndim(x) <= 1 else batch_dim
-        spec = P(*([None] * d), axis_name)
-        return jax.device_put(x, NamedSharding(mesh, spec))
-    return jax.tree_util.tree_map(put, batch)
+        return NamedSharding(mesh, P(*([None] * d), axis_name))
+    # ONE device_put call for the whole dict: transfers are issued together
+    # instead of one blocking round per leaf (a measured ~0.2 s/batch of
+    # the training epoch on the tunneled device)
+    return jax.device_put(batch, jax.tree_util.tree_map(sharding_of, batch))
 
 
 def replicate_params(params, mesh: Mesh):

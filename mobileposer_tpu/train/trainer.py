@@ -299,7 +299,9 @@ class Checkpointer:
 
     def save(self, params: dict, epoch: int, val_loss: float) -> Path:
         path = self.dir / f"epoch={epoch}-valloss={val_loss:.4f}.npz"
-        export_to_npz(jax.tree_util.tree_map(np.asarray, params), path)
+        # one batched device->host fetch (per-leaf np.asarray pays a
+        # transport round trip per leaf on tunneled devices)
+        export_to_npz(jax.device_get(params), path)
         self._prune()
         return path
 
@@ -334,6 +336,7 @@ def save_training_state(path, module_name: str, state: TrainState,
     from mobileposer_tpu.utils.io import savez_typed
     leaves, _ = jax.tree_util.tree_flatten(
         (state.params, state.opt_state, state.step))
+    leaves = jax.device_get(leaves)          # one batched fetch
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     savez_typed(path, {"__module__": module_name, "__epoch__": epoch,
                        **arrays})
@@ -499,7 +502,7 @@ class TrainingManager:
                     step_i += 1
                     if self.fast_dev_run and step_i >= 2:
                         break
-            train_loss = (float(np.mean([np.asarray(l) for l in losses]))
+            train_loss = (float(np.mean(jax.device_get(losses)))
                           if losses else float("nan"))
 
             val_losses = []
@@ -510,7 +513,7 @@ class TrainingManager:
                 val_losses.append(eval_step(state.params, batch, sub))
                 if self.fast_dev_run:
                     break
-            val_loss = (float(np.mean([np.asarray(l) for l in val_losses]))
+            val_loss = (float(np.mean(jax.device_get(val_losses)))
                         if val_losses else train_loss)
 
             history["train_loss"].append(train_loss)
@@ -536,7 +539,7 @@ class TrainingManager:
                 step_i = run_epoch(epoch, step_i)
         finally:
             sink.close()
-        return {"params": jax.tree_util.tree_map(np.asarray, state.params),
+        return {"params": jax.device_get(state.params),
                 "history": history, "checkpointer": ckpt}
 
     def train_all(self, dataset, checkpoint_path, body_model=None,
@@ -677,9 +680,8 @@ class TrainingManager:
                     sink.log(rec)
         finally:
             sink.close()
-        return {"params": {m: jax.tree_util.tree_map(np.asarray,
-                                                     states[m].params)
-                           for m in module_names},
+        return {"params": jax.device_get(
+                    {m: states[m].params for m in module_names}),
                 "history": history, "checkpointers": ckpts}
 
 
