@@ -57,8 +57,11 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
 
 
 def replicate_params(params, mesh: Mesh):
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, replicated(mesh)), params)
+    # one device_put call for the whole tree (per-leaf puts pay a
+    # transport round per leaf on tunneled devices)
+    rep = replicated(mesh)
+    return jax.device_put(
+        params, jax.tree_util.tree_map(lambda _: rep, params))
 
 
 def pad_batch_to_multiple(batch: dict, multiple: int,
