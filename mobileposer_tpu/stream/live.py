@@ -137,7 +137,10 @@ class LivePoser:
                     pose, joints, tran, contact = self.step_frame(
                         quat[-1], acc[-1])
                     if unity is not None:
-                        unity.send(np.asarray(self._aa(pose)), np.asarray(tran))
+                        # one batched fetch: serial np.asarray calls pay a
+                        # transport round trip each inside the 33 ms tick
+                        aa, tr = jax.device_get((self._aa(pose), tran))
+                        unity.send(np.asarray(aa), np.asarray(tr))
                     if on_frame is not None:
                         on_frame(pose, joints, tran, contact)
                     if recorded is not None:
@@ -151,8 +154,9 @@ class LivePoser:
                         recorded["ori"].append(glb_ori[0])
                         recorded["raw_acc"].append(acc[-1])
                         recorded["raw_ori"].append(quat[-1])
-                        recorded["pose"].append(np.asarray(pose))
-                        recorded["tran"].append(np.asarray(tran))
+                        pose_np, tran_np = jax.device_get((pose, tran))
+                        recorded["pose"].append(np.asarray(pose_np))
+                        recorded["tran"].append(np.asarray(tran_np))
                     if debug:
                         print(f"\rSensor FPS {self.imu_set.clock.get_fps():5.1f}"
                               f"  Output FPS {clock.get_fps():5.1f}", end="")
