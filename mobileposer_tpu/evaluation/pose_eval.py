@@ -128,6 +128,7 @@ def _predict_offline_batched(net, params, imus, bucket, max_batch,
                 lengths[k] = ns[i]
             pose, _, tran, _ = run(params, jnp.asarray(batch, dtype),
                                    jnp.asarray(lengths))
+            pose, tran = jax.device_get((pose, tran))   # one fetch round
             pose = np.asarray(pose, np.float32)
             tran = np.asarray(tran, np.float32)
             for k, i in enumerate(chunk):
@@ -179,6 +180,7 @@ def _predict_online_batched(net, params, imus, num_future_frames, bucket,
             state = init_state(n_pad)
             (poses, _, trans, _), _ = run(params, state,
                                           jnp.asarray(frames, dtype))
+            poses, trans = jax.device_get((poses, trans))
             poses = np.asarray(poses, np.float32)
             trans = np.asarray(trans, np.float32)
             for k, i in enumerate(chunk):
