@@ -32,16 +32,12 @@ def main(argv=None) -> None:
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
     if args.live:
-        import numpy as np
         from mobileposer_tpu.viz.live_viewer import LiveSkeletonViewer
-        from mobileposer_tpu.viz.render import joints_from_pose
-        bundle = dict(np.load(args.bundle))
-        joints_p = joints_from_pose(body, bundle["pose_p"],
-                                    bundle.get("tran_p"))
-        joints_t = (joints_from_pose(body, bundle["pose_t"],
-                                     bundle.get("tran_t"))
-                    if "pose_t" in bundle else None)
-        viewer = LiveSkeletonViewer(body)
+        from mobileposer_tpu.viz.render import load_bundle_joints
+        _, joints_p, joints_t = load_bundle_joints(args.bundle, body)
+        # world-space joints: the bundle bakes the GT +x offset, so use the
+        # shared-camera layout (a second screen offset pushes GT off-window)
+        viewer = LiveSkeletonViewer(body, split_layout=False)
         try:
             shown = viewer.play(joints_p, fps=args.fps,
                                 joints_gt_seq=joints_t)

@@ -136,13 +136,28 @@ class LivePoser:
                         continue
                     pose, joints, tran, contact = self.step_frame(
                         quat[-1], acc[-1])
+                    # ONE batched fetch per frame for every host consumer
+                    # (unity / viewer / recording): each extra serial
+                    # np.asarray costs a transport round trip inside the
+                    # 33 ms tick budget
+                    need = {}
                     if unity is not None:
-                        # one batched fetch: serial np.asarray calls pay a
-                        # transport round trip each inside the 33 ms tick
-                        aa, tr = jax.device_get((self._aa(pose), tran))
-                        unity.send(np.asarray(aa), np.asarray(tr))
+                        need["aa"] = self._aa(pose)
+                    if unity is not None or recorded is not None:
+                        need["tran"] = tran
+                    if recorded is not None:
+                        need["pose"] = pose
                     if on_frame is not None:
-                        on_frame(pose, joints, tran, contact)
+                        need["joints"] = joints
+                    fetched = jax.device_get(need) if need else {}
+                    if unity is not None:
+                        unity.send(np.asarray(fetched["aa"]),
+                                   np.asarray(fetched["tran"]))
+                    if on_frame is not None:
+                        try:
+                            on_frame(pose, fetched["joints"], tran, contact)
+                        except StopIteration:
+                            break          # viewer window closed: clean stop
                     if recorded is not None:
                         # reference dev-data schema (live_demo.py:266-275):
                         # 'acc'/'ori' are CALIBRATED global accel + rotation
@@ -154,9 +169,8 @@ class LivePoser:
                         recorded["ori"].append(glb_ori[0])
                         recorded["raw_acc"].append(acc[-1])
                         recorded["raw_ori"].append(quat[-1])
-                        pose_np, tran_np = jax.device_get((pose, tran))
-                        recorded["pose"].append(np.asarray(pose_np))
-                        recorded["tran"].append(np.asarray(tran_np))
+                        recorded["pose"].append(np.asarray(fetched["pose"]))
+                        recorded["tran"].append(np.asarray(fetched["tran"]))
                     if debug:
                         print(f"\rSensor FPS {self.imu_set.clock.get_fps():5.1f}"
                               f"  Output FPS {clock.get_fps():5.1f}", end="")

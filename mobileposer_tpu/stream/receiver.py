@@ -228,7 +228,10 @@ class SensorFrontend:
                 self.step()
                 if (on_tick is not None
                         and time.time() - last_tick >= tick_interval):
-                    on_tick(self.sensor_data)
+                    try:
+                        on_tick(self.sensor_data)
+                    except StopIteration:
+                        break          # observer window closed: clean stop
                     last_tick = time.time()
                 if duration is not None and time.time() - t0 > duration:
                     break

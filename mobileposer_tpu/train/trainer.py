@@ -355,7 +355,8 @@ def restore_training_state(path, lr: float):
     _, treedef = jax.tree_util.tree_flatten(
         (template.params, template.opt_state, template.step))
     n = len([k for k in z if k.startswith("leaf_")])
-    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+    # host-side numpy: the caller's replicate_params does one batched put
+    leaves = [np.asarray(z[f"leaf_{i}"]) for i in range(n)]
     params, opt_state, step = jax.tree_util.tree_unflatten(treedef, leaves)
     return TrainState(params, opt_state, step), module_name, epoch + 1
 
@@ -451,8 +452,8 @@ class TrainingManager:
             assert ckpt_module == module_name, (
                 f"checkpoint is for {ckpt_module}, not {module_name}")
         elif init_params is not None:
-            state = state._replace(params=jax.tree_util.tree_map(
-                jnp.asarray, init_params))
+            # keep numpy: replicate_params below does the one batched put
+            state = state._replace(params=init_params)
         n_dev = len(self.mesh.devices.flatten())
         state = state._replace(params=replicate_params(state.params, self.mesh))
 
@@ -604,8 +605,10 @@ class TrainingManager:
                 # init_params
                 for n, p in init_params.items():
                     if n in states:
-                        states[n] = states[n]._replace(
-                            params=jax.tree_util.tree_map(jnp.asarray, p))
+                        # keep numpy: replicate_params below does the one
+                        # batched transfer (per-leaf jnp.asarray pays a
+                        # round trip per leaf)
+                        states[n] = states[n]._replace(params=p)
         n_dev = len(self.mesh.devices.flatten())
         states = {n: s._replace(params=replicate_params(s.params, self.mesh))
                   for n, s in states.items()}
@@ -644,9 +647,9 @@ class TrainingManager:
                             losses[m].append(batch_losses[m])
                         if self.fast_dev_run and step_i >= 1:
                             break
-                train_losses = {m: (float(np.mean([np.asarray(l)
-                                                   for l in losses[m]]))
-                                    if losses[m] else float("nan"))
+                fetched = jax.device_get(losses)    # ONE fetch round for
+                train_losses = {m: (float(np.mean(fetched[m]))  # all modules
+                                    if fetched[m] else float("nan"))
                                 for m in module_names}
 
                 val_acc = {m: [] for m in module_names}
@@ -661,10 +664,10 @@ class TrainingManager:
                     if self.fast_dev_run:
                         break
                 dt = round(time.time() - t0, 3)
+                val_fetched = jax.device_get(val_acc)
                 for m in module_names:
-                    val_loss = (float(np.mean([np.asarray(l)
-                                               for l in val_acc[m]]))
-                                if val_acc[m] else train_losses[m])
+                    val_loss = (float(np.mean(val_fetched[m]))
+                                if val_fetched[m] else train_losses[m])
                     history[m]["train_loss"].append(train_losses[m])
                     history[m]["val_loss"].append(val_loss)
                     if np.isfinite(val_loss) and ckpts[m].should_save(val_loss):

@@ -76,7 +76,13 @@ class LiveSkeletonViewer:
 
     def __init__(self, body=None, size=(720, 540), scale: float = 170.0,
                  yaw: float = 0.35, pitch: float = 0.12,
-                 title: str = "mobileposer_tpu live"):
+                 title: str = "mobileposer_tpu live",
+                 split_layout: bool = True):
+        """split_layout=True draws pred and GT at separate screen centers
+        (for root-centered joints). Pass False when joints are WORLD-space
+        and already separated — e.g. MotionDump bundles bake a +1 m GT
+        offset into tran_t (viz/viewer.py:94); a second screen offset
+        would push GT off-window."""
         pg = _pygame()
         if not pg.get_init():
             pg.init()
@@ -90,6 +96,7 @@ class LiveSkeletonViewer:
         else:
             from mobileposer_tpu.kinematics.smpl import SMPL_PARENTS
             self.parent = SMPL_PARENTS
+        self.split_layout = split_layout
         self.screen = pg.display.set_mode(size)
         pg.display.set_caption(title)
         self.frames_drawn = 0
@@ -117,9 +124,12 @@ class LiveSkeletonViewer:
         w, h = self.size
         if joints_gt is None:
             self._draw_skeleton(joints, _BONE_COLOR, (w / 2, h * 0.55))
-        else:
+        elif self.split_layout:
             self._draw_skeleton(joints, _BONE_COLOR, (w * 0.3, h * 0.55))
             self._draw_skeleton(joints_gt, _GT_COLOR, (w * 0.7, h * 0.55))
+        else:                       # world-space: one shared camera center
+            self._draw_skeleton(joints, _BONE_COLOR, (w / 2, h * 0.55))
+            self._draw_skeleton(joints_gt, _GT_COLOR, (w / 2, h * 0.55))
         pg.display.flip()
         self.frames_drawn += 1
 

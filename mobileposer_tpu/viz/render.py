@@ -47,6 +47,22 @@ def _plot_skeleton(ax, joints: np.ndarray, color: str, label: str) -> None:
                label=label)
 
 
+def load_bundle_joints(bundle, body: Optional[ParametricModel] = None):
+    """(bundle_dict, joints_p [N,24,3], joints_t or None) from a MotionDump
+    npz bundle (path or dict) — the one loader shared by the offline
+    renderer and `cli/render --live`. Bundle translations already carry the
+    viewer's world-space GT offset (viz/viewer.py:94), so callers must not
+    offset again."""
+    if not isinstance(bundle, dict):
+        bundle = dict(np.load(bundle))
+    body = body or ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
+    joints_p = joints_from_pose(body, bundle["pose_p"], bundle.get("tran_p"))
+    joints_t = (joints_from_pose(body, bundle["pose_t"],
+                                 bundle.get("tran_t"))
+                if "pose_t" in bundle else None)
+    return bundle, joints_p, joints_t
+
+
 def render_motion(bundle, out_dir, body: Optional[ParametricModel] = None,
                   stride: int = 5, gif: bool = False,
                   dpi: int = 80) -> Path:
@@ -57,15 +73,9 @@ def render_motion(bundle, out_dir, body: Optional[ParametricModel] = None,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    if not isinstance(bundle, dict):
-        bundle = dict(np.load(bundle))
-    body = body or ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
+    bundle, joints_p, joints_t = load_bundle_joints(bundle, body)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-
-    joints_p = joints_from_pose(body, bundle["pose_p"], bundle.get("tran_p"))
-    joints_t = (joints_from_pose(body, bundle["pose_t"], bundle.get("tran_t"))
-                if "pose_t" in bundle else None)
 
     allj = (np.concatenate([joints_p, joints_t])
             if joints_t is not None else joints_p)

@@ -121,3 +121,22 @@ def test_play_motion_and_render_cli_live(body, tmp_path, capsys):
             classmethod(lambda cls, f, **kw: body)):
         render_cli.main([str(bundle), "--live", "--fps", "1000"])
     assert "played 4 frames" in capsys.readouterr().out
+
+
+def test_world_space_layout_keeps_offset_gt_visible(body):
+    """MotionDump bundles bake a +1 m GT world offset; split_layout=False
+    must render both bodies in one camera so the GT stays on-screen
+    (review r3: the split layout added a second screen offset and pushed
+    GT past the window edge)."""
+    v = LiveSkeletonViewer(body, size=(720, 540), split_layout=False)
+    try:
+        j = _tpose_joints(body)
+        gt = j + np.array([1.0, 0.0, 0.0], np.float32)
+        v.update(j, joints_gt=gt)
+        px = v.pixels()          # [W, H, 3]
+        # GT strokes use the orange color (255,160,60): red-dominant
+        orange = ((px[..., 0] > 180) & (px[..., 1] > 100)
+                  & (px[..., 1] < 220) & (px[..., 2] < 120))
+        assert orange.sum() > 50, "GT skeleton not visible in-window"
+    finally:
+        v.close()
