@@ -57,8 +57,9 @@ def main():
 
     # state lives on device in steady-state serving: place it once so the
     # timed region measures compute, not a per-call host->device upload
-    states = jax.tree_util.tree_map(jnp.asarray,
-                                    net.init_online_state_batched(n_streams))
+    # single batched placement (per-leaf jnp.asarray pays an eager
+    # dispatch per leaf over the tunnel)
+    states = jax.device_put(net.init_online_state_batched(n_streams))
 
     # One dispatch: batch-major streams, scan over frames inside. The
     # returned scalar folds in every output so the full serving program
@@ -108,9 +109,8 @@ def main():
     from mobileposer_tpu.nn import cast_params
     params_bf = cast_params(params, jnp.bfloat16)
     frames_bf = frames.astype(jnp.bfloat16)
-    states_xbf = jax.tree_util.tree_map(
-        jnp.asarray, net.init_online_state_batched(n_streams,
-                                                   dtype=jnp.bfloat16))
+    states_xbf = jax.device_put(
+        net.init_online_state_batched(n_streams, dtype=jnp.bfloat16))
 
     @jax.jit
     def run_exact_bf(params, states, frames):
@@ -132,8 +132,7 @@ def main():
     # carried across frames, backward recomputed over the 5-frame tail only
     # — an approximation of the window semantics with ~15x fewer FLOPs.
     # Reported alongside the exact headline, never as it.
-    cstates = jax.tree_util.tree_map(
-        jnp.asarray, net.init_carry_state_batched(n_streams))
+    cstates = jax.device_put(net.init_carry_state_batched(n_streams))
 
     @jax.jit
     def run_carry(params, cstates, frames):
@@ -152,9 +151,8 @@ def main():
 
     # carry + bf16 weights/state/frames — the max-throughput serving
     # configuration (reuses the bf16 params/frames pair from above).
-    cstates_bf = jax.tree_util.tree_map(
-        jnp.asarray, net.init_carry_state_batched(n_streams,
-                                                  dtype=jnp.bfloat16))
+    cstates_bf = jax.device_put(
+        net.init_carry_state_batched(n_streams, dtype=jnp.bfloat16))
 
     @jax.jit
     def run_carry_bf(params, cstates, frames):

@@ -154,7 +154,9 @@ class PoseServer:
 
     def _reset_slot(self, slot: int) -> None:
         """Fresh streaming state for a claimed slot (device-resident)."""
-        states = jax.tree_util.tree_map(jnp.asarray, self.states)
+        # one batched put on the first claim (numpy init state); a no-op
+        # for already-device leaves on later claims
+        states = jax.device_put(self.states)
         self.states = self._reset_fn(states, slot)
 
     # -- main loop ----------------------------------------------------------
