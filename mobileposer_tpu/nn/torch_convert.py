@@ -85,15 +85,19 @@ def convert_mobileposer_checkpoint(sd_or_path, configs: Mapping[str, LSTMConfig]
 def cast_params(params, dtype):
     """Cast every float leaf of a params pytree (e.g. to bfloat16 for
     inference — the MXU runs bf16 at 2x fp32 and halves HBM traffic; keep
-    fp32 for training and strict-parity evaluation)."""
+    fp32 for training and strict-parity evaluation).
+
+    The whole tree casts inside ONE jitted program: per-leaf eager casts
+    dispatch (and on tunneled devices remote-compile) once per leaf."""
     import jax
     import jax.numpy as jnp
 
     def cast(x):
-        x = jnp.asarray(x)
-        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+        return (x.astype(dtype)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x)
 
-    return jax.tree_util.tree_map(cast, params)
+    return jax.jit(
+        lambda t: jax.tree_util.tree_map(cast, t))(params)
 
 
 def export_to_npz(params: dict, path: str) -> None:
