@@ -23,8 +23,12 @@ def main(argv=None) -> None:
     parser.add_argument("--model", default=None,
                         help="weights .npz (default: random init)")
     parser.add_argument("--streams", type=int, default=256)
-    parser.add_argument("--mode", choices=["carry", "exact"],
-                        default="carry")
+    parser.add_argument("--mode", choices=["carry", "exact", "offline"],
+                        default="carry",
+                        help="streaming step (carry/exact) or the "
+                             "stateless batched offline forward")
+    parser.add_argument("--seq-len", type=int, default=512,
+                        help="padded sequence length (offline mode)")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--platforms", default="tpu,cpu",
                         help="comma-separated lowering targets")
@@ -52,17 +56,23 @@ def main(argv=None) -> None:
 
     out = save_bundle(args.out, net, params, n_streams=args.streams,
                       mode=args.mode, dtype=dtype,
-                      platforms=tuple(args.platforms.split(",")))
+                      platforms=tuple(args.platforms.split(",")),
+                      seq_len=args.seq_len)
     print(f"exported {args.mode} step (S={args.streams}, "
           f"{jnp.dtype(dtype).name}) -> {out}")
 
     if args.smoke_test:
         step, p, st, meta = load_bundle(out)
-        frames = np.zeros((args.streams, 60),
-                          np.dtype(str(jnp.dtype(dtype))))
-        (pose, joints, root, contact), _ = step(p, st, frames)
+        np_dtype = np.dtype(str(jnp.dtype(dtype)))
+        if args.mode == "offline":
+            imu = np.zeros((args.streams, args.seq_len, 60), np_dtype)
+            lengths = np.full((args.streams,), args.seq_len, np.int32)
+            pose, joints, tran, contact = step(p, imu, lengths)
+        else:
+            frames = np.zeros((args.streams, 60), np_dtype)
+            (pose, joints, tran, contact), _ = step(p, st, frames)
         assert np.isfinite(np.asarray(pose, np.float32)).all()
-        print(f"smoke test ok: pose {pose.shape}, root {root.shape} "
+        print(f"smoke test ok: pose {pose.shape}, tran {tran.shape} "
               f"on {jax.default_backend()}")
 
 

@@ -81,6 +81,27 @@ def _fresh_state(net: MobilePoserNet, n_streams: int, mode: str, dtype):
     raise ValueError(f"mode must be 'carry' or 'exact', got {mode!r}")
 
 
+def export_offline_forward(net: MobilePoserNet, params: dict,
+                           batch_size: int, seq_len: int,
+                           dtype=jnp.float32,
+                           platforms: Tuple[str, ...] = ("tpu", "cpu")
+                           ) -> "jx.Exported":
+    """AOT-export the batched OFFLINE forward for batch-processing
+    deployments (whole padded sequences in, pose/joints/tran/contact out;
+    stateless). Signature: (params, imu [B, T, 60], lengths [B]) ->
+    (pose, joints, tran, contact) — the same program dataset evaluation
+    runs (evaluation/pose_eval.forward_offline_batched)."""
+    from mobileposer_tpu.evaluation.pose_eval import forward_offline_batched
+
+    def fn(params, imu, lengths):
+        return forward_offline_batched(net, params, imu, lengths)
+
+    imu = jax.ShapeDtypeStruct((batch_size, seq_len, 60), jnp.dtype(dtype))
+    lengths = jax.ShapeDtypeStruct((batch_size,), jnp.dtype(jnp.int32))
+    return jx.export(jax.jit(fn), platforms=list(platforms))(
+        _spec(params), imu, lengths)
+
+
 def export_streaming_step(net: MobilePoserNet, params: dict, n_streams: int,
                           mode: str = "carry", dtype=jnp.float32,
                           platforms: Tuple[str, ...] = ("tpu", "cpu"),
@@ -127,20 +148,33 @@ def _load_state_npz(path, mode: str):
 
 def save_bundle(directory, net: MobilePoserNet, params: dict,
                 n_streams: int, mode: str = "carry", dtype=jnp.float32,
-                platforms: Tuple[str, ...] = ("tpu", "cpu")) -> Path:
+                platforms: Tuple[str, ...] = ("tpu", "cpu"),
+                seq_len: int = 512) -> Path:
     """Write a self-contained serving bundle: StableHLO step + weights +
-    fresh state + metadata."""
+    fresh state + metadata.
+
+    mode='carry'/'exact' exports the batched STREAMING step (n_streams
+    concurrent streams, carried state). mode='offline' exports the
+    stateless batched offline forward over [n_streams, seq_len, 60]
+    padded sequences (batch-processing deployments; no state file)."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
-    state = _fresh_state(net, n_streams, mode, dtype)
-    exported = export_streaming_step(net, params, n_streams, mode, dtype,
-                                     platforms, state=state)
+    if mode == "offline":
+        exported = export_offline_forward(net, params, n_streams, seq_len,
+                                          dtype, platforms)
+        state = None
+    else:
+        state = _fresh_state(net, n_streams, mode, dtype)
+        exported = export_streaming_step(net, params, n_streams, mode,
+                                         dtype, platforms, state=state)
     (directory / _STEP_FILE).write_bytes(exported.serialize())
     export_to_npz(params, directory / _WEIGHTS_FILE)
-    _save_state_npz(directory / _STATE_FILE, state)
+    if state is not None:
+        _save_state_npz(directory / _STATE_FILE, state)
     (directory / _META_FILE).write_text(json.dumps({
         "mode": mode,
         "n_streams": n_streams,
+        **({"seq_len": seq_len} if mode == "offline" else {}),
         "dtype": str(jnp.dtype(dtype)),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
@@ -152,12 +186,18 @@ def save_bundle(directory, net: MobilePoserNet, params: dict,
 def load_bundle(directory):
     """Load a serving bundle. Returns (step, params, fresh_state, meta);
     `step(params, state, frames)` executes the AOT artifact (no tracing of
-    model code; jax dispatches the deserialized StableHLO directly)."""
+    model code; jax dispatches the deserialized StableHLO directly).
+    Offline bundles return state=None and
+    `step(params, imu, lengths) -> (pose, joints, tran, contact)`."""
     _register_state_serialization()
     directory = Path(directory)
     meta = json.loads((directory / _META_FILE).read_text())
     exported = jx.deserialize((directory / _STEP_FILE).read_bytes())
     params = load_from_npz(directory / _WEIGHTS_FILE)
+    if meta["mode"] == "offline":
+        def step(params, imu, lengths):
+            return exported.call(params, imu, lengths)
+        return step, params, None, meta
     state = _load_state_npz(directory / _STATE_FILE, meta["mode"])
 
     def step(params, state, frames):

@@ -130,3 +130,29 @@ def test_bundle_rejects_bad_mode(net, params, tmp_path):
     with pytest.raises(ValueError, match="mode"):
         save_bundle(tmp_path / "x", net, params, 2, mode="bogus",
                     platforms=("cpu",))
+
+
+def test_offline_bundle_round_trip(net, params, tmp_path):
+    """mode='offline': the stateless batched forward exports, reloads, and
+    matches the live forward_offline_batched program."""
+    from mobileposer_tpu.evaluation.pose_eval import forward_offline_batched
+    B, T = 2, 64
+    save_bundle(tmp_path / "off", net, params, n_streams=B, mode="offline",
+                seq_len=T, platforms=("cpu",))
+    assert not (tmp_path / "off" / "state.npz").exists()
+    step, p, state, meta = load_bundle(tmp_path / "off")
+    assert state is None
+    assert meta["mode"] == "offline" and meta["seq_len"] == T
+
+    rng = np.random.RandomState(3)
+    imu = rng.randn(B, T, 60).astype(np.float32) * 0.1
+    lengths = np.asarray([T, T // 2], np.int32)
+    pose_b, joints_b, tran_b, contact_b = step(p, imu, lengths)
+    pose_l, joints_l, tran_l, contact_l = jax.jit(
+        lambda pp, x, l: forward_offline_batched(net, pp, x, l))(
+        params, jnp.asarray(imu), jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(pose_b), np.asarray(pose_l),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tran_b), np.asarray(tran_l),
+                               atol=2e-5)
+    assert np.isfinite(np.asarray(contact_b)).all()
