@@ -173,10 +173,15 @@ class PoseServer:
                 continue
             unpacked = REQUEST_STRUCT.unpack(data)
             stream_id = unpacked[0]
+            frame = np.asarray(unpacked[1:], np.float32)
+            if not np.isfinite(frame).all():
+                # a single NaN/inf frame would poison the slot's carried
+                # LSTM state until the idle-timeout reset — drop it here
+                continue
             slot = self._slot_for(stream_id)
             if slot is None:
                 continue
-            self.pending[slot] = unpacked[1:]
+            self.pending[slot] = frame
             self.has_frame[slot] = True
             self.addr_of[slot] = addr
             self.last_seen[slot] = time.time()

@@ -222,3 +222,41 @@ def test_bf16_carry_server_round_trip():
         srv.stop()
         thread.join(timeout=5)
         srv.close()
+
+
+def test_nonfinite_frames_dropped():
+    """A NaN/inf payload must be dropped at ingestion (it would poison the
+    slot's carried LSTM state until the idle-timeout reset); the healthy
+    stream keeps getting finite replies."""
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    srv = PoseServer(net, params, host="127.0.0.1", port=0, max_streams=4,
+                     tick_hz=120.0)
+    thread = threading.Thread(target=srv.run, daemon=True)
+    thread.start()
+    rng = np.random.RandomState(7)
+    good = PoseClient(stream_id=700, port=srv.port)
+    bad = PoseClient(stream_id=701, port=srv.port)
+    try:
+        nan_frame = np.full(60, np.nan, np.float32)
+        good_replies = 0
+        for _ in range(6):
+            bad.send_frame(nan_frame)
+            good.send_frame(rng.randn(60).astype(np.float32) * 0.1)
+            r = good.recv_pose()
+            if r is not None:
+                good_replies += 1
+                pose_aa, tran, contact = r
+                assert np.isfinite(pose_aa).all()
+                assert np.isfinite(tran).all()
+        assert good_replies >= 3
+        # the NaN sender's frames were dropped: no reply ever goes out
+        bad.sock.settimeout(0.2)
+        assert bad.recv_pose() is None
+    finally:
+        good.close()
+        bad.close()
+        srv.stop()
+        thread.join(timeout=5)
+        srv.close()
