@@ -6,12 +6,16 @@ untrained model — the whole process -> train -> combine -> evaluate
 pipeline exercised with metrics that must improve by an order of
 magnitude if the framework's losses/optimizers/evaluation agree.
 
-    MP_ROOT=/tmp/demo python scripts/convergence_demo.py [--epochs 12]
+    MP_ROOT=/tmp/demo python scripts/convergence_demo.py [--epochs 12] \
+        [--concurrent]
 
 Measured on TPU v5e-1 (12 epochs, ~7 min wall incl. compiles):
 untrained SIP 133.0 deg / 55.5 cm positional -> trained SIP 21.3 deg /
-11.0 cm. Synthetic in-domain data — a pipeline-health check, NOT a
-real-dataset accuracy claim (that is parity day, docs/parity.md).
+11.0 cm. --concurrent trains all modules per batch in one jit region
+(1.8x the training wall, design.md §6.3) and converges to the same
+metrics (verified r3: SIP 21.68 deg both recipes). Synthetic in-domain
+data — a pipeline-health check, NOT a real-dataset accuracy claim
+(that is parity day, docs/parity.md).
 """
 
 import argparse
