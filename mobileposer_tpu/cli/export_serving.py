@@ -1,7 +1,8 @@
 """Export an AOT-compiled serving bundle (StableHLO via jax.export).
 
     python -m mobileposer_tpu.cli.export_serving --out bundle/
-        [--model weights.npz] [--streams 256] [--mode carry|exact]
+        [--model weights.npz] [--streams 256]
+        [--mode carry|exact|offline] [--seq-len 512]
         [--bf16] [--platforms tpu,cpu] [--smoke-test]
 
 The bundle (step.jaxexport + weights.npz + state.npz + meta.json) runs on

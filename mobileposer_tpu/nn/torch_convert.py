@@ -13,6 +13,7 @@ Torch is used host-side only, to deserialize the pickle.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Mapping
 
 import numpy as np
@@ -82,22 +83,30 @@ def convert_mobileposer_checkpoint(sd_or_path, configs: Mapping[str, LSTMConfig]
             for name in configs}
 
 
-def cast_params(params, dtype):
-    """Cast every float leaf of a params pytree (e.g. to bfloat16 for
-    inference — the MXU runs bf16 at 2x fp32 and halves HBM traffic; keep
-    fp32 for training and strict-parity evaluation).
-
-    The whole tree casts inside ONE jitted program: per-leaf eager casts
-    dispatch (and on tunneled devices remote-compile) once per leaf."""
+@functools.lru_cache(maxsize=None)
+def _cast_program(dtype_str: str):
     import jax
     import jax.numpy as jnp
+    dtype = jnp.dtype(dtype_str)
 
     def cast(x):
         return (x.astype(dtype)
                 if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x)
 
-    return jax.jit(
-        lambda t: jax.tree_util.tree_map(cast, t))(params)
+    return jax.jit(lambda t: jax.tree_util.tree_map(cast, t))
+
+
+def cast_params(params, dtype):
+    """Cast every float leaf of a params pytree (e.g. to bfloat16 for
+    inference — the MXU runs bf16 at 2x fp32 and halves HBM traffic; keep
+    fp32 for training and strict-parity evaluation).
+
+    The whole tree casts inside ONE jitted program, cached per target
+    dtype (per-leaf eager casts dispatch — and on tunneled devices
+    remote-compile — once per leaf; an un-cached jit would re-trace per
+    call)."""
+    import jax.numpy as jnp
+    return _cast_program(str(jnp.dtype(dtype)))(params)
 
 
 def export_to_npz(params: dict, path: str) -> None:

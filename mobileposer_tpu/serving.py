@@ -1,8 +1,9 @@
 """AOT-compiled serving bundles (jax.export / StableHLO).
 
 Serializes the batched streaming step — exact windowed semantics or carry
-mode — as a platform-tagged StableHLO artifact alongside the weights and a
-fresh streaming state, so a serving host can run the model without tracing
+mode — or the stateless batched OFFLINE forward as a platform-tagged
+StableHLO artifact alongside the weights (and, for streaming modes, a
+fresh streaming state), so a serving host can run the model without tracing
 or re-deriving the model math, and so a program exported today keeps
 running across framework upgrades (StableHLO artifacts are
 forward-compatible; a re-trace is not guaranteed to be).

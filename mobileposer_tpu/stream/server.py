@@ -162,7 +162,10 @@ class PoseServer:
     # -- main loop ----------------------------------------------------------
     def _drain_requests(self) -> int:
         n = 0
-        while True:
+        # hard iteration cap: dropped (malformed/non-finite) datagrams must
+        # also count toward the per-tick budget, or a garbage flood could
+        # keep this loop spinning and stall tick() for healthy streams
+        for _ in range(self.max_streams * 8):
             try:
                 data, addr = self.sock.recvfrom(REQUEST_STRUCT.size)
             except (BlockingIOError, socket.timeout):
