@@ -21,6 +21,14 @@ modules in-process (reference live_demo.py). Here:
 
 Bundles are exported for both 'tpu' and 'cpu' by default, so the same
 artifact serves production chips and local smoke tests.
+
+What AOT does and does not buy (measured r3, v5e-1): the artifact stores
+StableHLO, so the serving host never TRACES model code (no python model
+deps beyond the state pytree classes, stable across framework upgrades),
+but the backend still compiles the module at first call — first-step
+latency is comparable to a jit first-call with a warm persistent compile
+cache (3.4 s vs 2.7 s measured). Deploy-time wins are hermeticity and
+version stability, not cold-start.
 """
 
 from __future__ import annotations
