@@ -99,8 +99,44 @@ def _bucket_len(n: int, bucket: int) -> int:
     return max(bucket, -(-n // bucket) * bucket)
 
 
+def _sharding_helpers(mesh):
+    """(shard_rows, shard_streams, shard_state) placement helpers for a
+    1-D data mesh (None -> identity jnp.asarray placements)."""
+    if mesh is None:
+        def asarr(x, dtype=None):
+            return jnp.asarray(x, dtype)
+        # state passes through untouched: the jitted call transfers the
+        # whole pytree in one round (per-leaf placement would pay a
+        # transport round per leaf — CLAUDE.md)
+        return asarr, asarr, (lambda st, n: st)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def shard_rows(x, dtype=None):            # [B, ...]: batch-dim sharded
+        spec = P("data", *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(jnp.asarray(x, dtype),
+                              NamedSharding(mesh, spec))
+
+    def shard_streams(x, dtype=None):         # [T, S, ...]: stream sharded
+        spec = P(None, "data", *([None] * (np.ndim(x) - 2)))
+        return jax.device_put(jnp.asarray(x, dtype),
+                              NamedSharding(mesh, spec))
+
+    def shard_state(st, n_streams):
+        def leaf(x):
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] == n_streams:
+                return jax.device_put(x, NamedSharding(mesh, P("data")))
+            if x.ndim >= 2 and x.shape[1] == n_streams:
+                return jax.device_put(x, NamedSharding(mesh,
+                                                       P(None, "data")))
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.tree_util.tree_map(leaf, st)
+
+    return shard_rows, shard_streams, shard_state
+
+
 def _predict_offline_batched(net, params, imus, bucket, max_batch,
-                             dtype=np.float32):
+                             dtype=np.float32, mesh=None):
     """Offline predictions for a list of [T_i, 60] sequences, batched by
     padded-length group. Returns [(pose [T_i,24,3,3], tran [T_i,3]), ...].
 
@@ -111,6 +147,8 @@ def _predict_offline_batched(net, params, imus, bucket, max_batch,
     evaluate.py:48-58).
     """
     from mobileposer_tpu.evaluation.evaluator import _pad_to_bucket
+    shard_rows, _, _ = _sharding_helpers(mesh)
+    n_dev = 1 if mesh is None else mesh.devices.size
     run = jax.jit(lambda p, b, l: forward_offline_batched(net, p, b, l))
     ns = [x.shape[0] for x in imus]
     groups: Dict[int, List[int]] = {}
@@ -120,14 +158,15 @@ def _predict_offline_batched(net, params, imus, bucket, max_batch,
     for P, idxs in sorted(groups.items()):
         for c0 in range(0, len(idxs), max_batch):
             chunk = idxs[c0:c0 + max_batch]
-            n_pad = 1 << (len(chunk) - 1).bit_length()   # pow2 batch bucket
+            # pow2 batch bucket, at least one row per device when sharded
+            n_pad = max(1 << (len(chunk) - 1).bit_length(), n_dev)
             batch = np.zeros((n_pad, P, imus[0].shape[-1]), np.float32)
             lengths = np.zeros((n_pad,), np.int32)
             for k, i in enumerate(chunk):
                 batch[k] = _pad_to_bucket(imus[i], P)
                 lengths[k] = ns[i]
-            pose, _, tran, _ = run(params, jnp.asarray(batch, dtype),
-                                   jnp.asarray(lengths))
+            pose, _, tran, _ = run(params, shard_rows(batch, dtype),
+                                   shard_rows(lengths))
             pose, tran = jax.device_get((pose, tran))   # one fetch round
             pose = np.asarray(pose, np.float32)
             tran = np.asarray(tran, np.float32)
@@ -138,7 +177,7 @@ def _predict_offline_batched(net, params, imus, bucket, max_batch,
 
 def _predict_online_batched(net, params, imus, num_future_frames, bucket,
                             max_batch, mode: str = "exact",
-                            dtype=np.float32):
+                            dtype=np.float32, mesh=None):
     """ONLINE-protocol predictions for a list of sequences, batched as
     independent streams (reference protocol: evaluate.py:62-64 — per-frame
     streaming with `num_future_frames` of last-frame padding).
@@ -153,6 +192,8 @@ def _predict_online_batched(net, params, imus, num_future_frames, bucket,
     quantify exactly the approximation's accuracy cost (the parity-day
     A/B for whether carry mode may serve)."""
     import functools
+    _, shard_streams, shard_state = _sharding_helpers(mesh)
+    n_dev = 1 if mesh is None else mesh.devices.size
     jdt = jnp.dtype(dtype)
     if mode == "carry":
         run = jax.jit(net.forward_carry_sequence_batched)
@@ -170,16 +211,16 @@ def _predict_online_batched(net, params, imus, num_future_frames, bucket,
     for P, idxs in sorted(groups.items()):
         for c0 in range(0, len(idxs), max_batch):
             chunk = idxs[c0:c0 + max_batch]
-            n_pad = 1 << (len(chunk) - 1).bit_length()
+            n_pad = max(1 << (len(chunk) - 1).bit_length(), n_dev)
             frames = np.zeros((P, n_pad, imus[0].shape[-1]), np.float32)
             for k, i in enumerate(chunk):
                 seq = np.concatenate(
                     [imus[i], np.repeat(imus[i][-1:], P - imus[i].shape[0],
                                         axis=0)])
                 frames[:, k] = seq
-            state = init_state(n_pad)
+            state = shard_state(init_state(n_pad), n_pad)
             (poses, _, trans, _), _ = run(params, state,
-                                          jnp.asarray(frames, dtype))
+                                          shard_streams(frames, dtype))
             poses, trans = jax.device_get((poses, trans))
             poses = np.asarray(poses, np.float32)
             trans = np.asarray(trans, np.float32)
@@ -194,7 +235,7 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
                   num_future_frames: int = C.model_config.future_frames,
                   verbose: bool = True, batch_sequences: bool = True,
                   max_batch: int = 64, online_mode: str = "exact",
-                  bf16: bool = False):
+                  bf16: bool = False, mesh=None):
     """Offline (and optionally online) evaluation over a sequence dataset
     (reference: evaluate.py:39-107).
 
@@ -209,6 +250,8 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
     """
     if bf16 and not batch_sequences:
         raise ValueError("bf16=True requires batch_sequences=True")
+    if mesh is not None and not batch_sequences:
+        raise ValueError("mesh sharding requires batch_sequences=True")
     if online_mode not in ("exact", "carry"):
         # validate up front: an unknown mode must not silently fall back to
         # the exact path (a parity A/B would then compare exact vs exact
@@ -239,12 +282,20 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
             from mobileposer_tpu.nn import cast_params
             params = cast_params(params, jnp.bfloat16)
             dtype = jnp.bfloat16
+        if mesh is not None:
+            # data-parallel evaluation: params replicated once, every
+            # prediction batch sharded over the mesh's data axis (GSPMD
+            # inserts nothing — the forward has no cross-row ops — so the
+            # metrics are bit-identical to single-device)
+            from mobileposer_tpu.parallel import replicate_params
+            params = replicate_params(params, mesh)
         offline_preds = _predict_offline_batched(net, params, imus, _BUCKET,
-                                                 max_batch, dtype=dtype)
+                                                 max_batch, dtype=dtype,
+                                                 mesh=mesh)
         online_preds = (_predict_online_batched(net, params, imus,
                                                 num_future_frames, _BUCKET,
                                                 max_batch, mode=online_mode,
-                                                dtype=dtype)
+                                                dtype=dtype, mesh=mesh)
                         if online else [None] * len(items))
     else:
         if online_mode != "exact":

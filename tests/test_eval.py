@@ -201,3 +201,40 @@ def test_evaluate_pose_batched_matches_serial(body, monkeypatch):
         for w in res_s.get("tran_errors", {}):
             np.testing.assert_allclose(res_b["tran_errors"][w],
                                        res_s["tran_errors"][w], atol=1e-4)
+
+
+def test_evaluate_pose_sharded_matches_single(body, monkeypatch):
+    """Data-parallel evaluation over the 8-device mesh: identical metrics
+    to the single-device run, offline AND ONLINE (the parity-day workload
+    scales over chips; sharded CARRY streaming equality is covered by
+    test_streaming_carry — one exact-mode A/B keeps this test inside the
+    suite's time budget)."""
+    import jax.numpy as jnp  # noqa: F401
+    from mobileposer_tpu.data import EvalSequence, PoseDataset
+    from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    from mobileposer_tpu.parallel import make_mesh
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as td:
+        f = pathlib.Path(td) / "eval.pt"
+        make_synthetic_processed_dataset(f, n_sequences=2, T=50, seed=21,
+                                         body_model=body)
+        ds = PoseDataset(fold="test", evaluate="dip", body_model=body,
+                         data_files=[f])
+        view = EvalSequence(ds, combo="lw_rp")
+        net = MobilePoserNet(body)
+        params = init_all_modules(jax.random.PRNGKey(2))
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        # shrink the padding bucket: the default 512-frame programs compile
+        # twice here (single + sharded variants) and dominated the test
+        import mobileposer_tpu.evaluation.evaluator as ev_mod
+        monkeypatch.setattr(ev_mod, "_BUCKET", 128)  # (>= _FK_BLOCK)
+        single = evaluate_pose(net, params, view, online=True,
+                               verbose=False)
+        sharded = evaluate_pose(net, params, view, online=True,
+                                verbose=False, mesh=mesh)
+        np.testing.assert_allclose(sharded["offline"], single["offline"],
+                                   atol=1e-4)
+        np.testing.assert_allclose(sharded["online"], single["online"],
+                                   atol=1e-4)
