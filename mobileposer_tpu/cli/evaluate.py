@@ -33,6 +33,10 @@ def main(argv=None) -> None:
                              "(or set ONLINE=1, reference-style)")
     parser.add_argument("--tran", action="store_true",
                         help="report translation drift at 1-7 m")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the evaluation batches over all local "
+                             "devices (evaluate_pose(mesh=...); metrics "
+                             "are identical to single-device)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 inference dtype (+16%% eval throughput "
                              "on v5e-1; metrics computed f32 on cast-back "
@@ -61,11 +65,21 @@ def main(argv=None) -> None:
         ds = PoseDataset(fold="test", evaluate=args.dataset, body_model=body)
     view = EvalSequence(ds, combo=args.combo)
     from mobileposer_tpu.utils.helpers import getenv_flag
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from mobileposer_tpu.parallel import make_mesh
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+            print(f"data-parallel evaluation over {mesh.devices.size} "
+                  f"devices")
     evaluate_pose(net, params, view,
                   online=args.online or getenv_flag("ONLINE"),
                   evaluate_tran=args.tran,
                   online_mode=args.online_mode,
-                  bf16=args.bf16)
+                  bf16=args.bf16,
+                  mesh=mesh)
 
 
 if __name__ == "__main__":
