@@ -38,6 +38,11 @@ def main(argv=None) -> None:
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args(argv)
 
+    # first-frame latency is compile-bound; repeat sessions on the same
+    # host hit the persistent cache
+    from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
     net = MobilePoserNet(body)
     params = load_model(args.model)

@@ -26,12 +26,22 @@ def main(argv=None) -> None:
     parser.add_argument("--bf16", action="store_true",
                         help="serve with bfloat16 weights (2x MXU, ~1e-3 "
                              "relative error)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the stream slots over all local "
+                             "devices (params replicated; replies are "
+                             "identical to single-device)")
     parser.add_argument("--carry", action="store_true",
                         help="carry-mode streaming (models/streaming.py): "
                              "~4.5x throughput, approximate window "
                              "semantics — validate on real checkpoints "
                              "first (docs/parity.md)")
     args = parser.parse_args(argv)
+
+    # serving cold-start is compile-bound; repeat deploys on the same host
+    # hit the persistent cache (measured 3.4 s cold vs 2.7 s warm —
+    # serving.py module docstring)
+    from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
     net = MobilePoserNet(body)
@@ -40,12 +50,24 @@ def main(argv=None) -> None:
         import jax.numpy as jnp
         from mobileposer_tpu.nn import cast_params
         params = cast_params(params, jnp.bfloat16)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from mobileposer_tpu.parallel import make_mesh
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+            if args.max_streams % mesh.devices.size:
+                parser.error(f"--max-streams {args.max_streams} must divide "
+                             f"over {mesh.devices.size} devices")
     server = PoseServer(net, params, host=args.host, port=args.port,
                         max_streams=args.max_streams, tick_hz=args.tick_hz,
-                        mode="carry" if args.carry else "exact")
+                        mode="carry" if args.carry else "exact", mesh=mesh)
     print(f"Pose server on udp://{args.host}:{server.port} "
           f"({args.max_streams} streams @ {args.tick_hz} Hz, "
-          f"{server.mode} mode). Ctrl-C to stop.")
+          f"{server.mode} mode"
+          + (f", {mesh.devices.size}-device fleet" if mesh is not None
+             else "") + "). Ctrl-C to stop.")
     try:
         server.run(duration=args.duration)
     except KeyboardInterrupt:

@@ -12,4 +12,5 @@ from mobileposer_tpu.parallel.mesh import (  # noqa: F401
     replicate_params,
     replicated,
     shard_batch,
+    shard_stream_state,
 )

@@ -64,6 +64,29 @@ def replicate_params(params, mesh: Mesh):
         params, jax.tree_util.tree_map(lambda _: rep, params))
 
 
+def shard_stream_state(state, n_streams: int, mesh: Mesh,
+                       axis_name: str = DATA_AXIS):
+    """Place a batched streaming-state pytree onto the mesh with the STREAM
+    axis sharded (serving fleets: params replicated, slots spread over
+    devices — the layout the driver dryrun and `PoseServer(mesh=...)` use).
+
+    Streaming states (`init_online_state_batched` / `init_carry_state_
+    batched`) keep the stream axis leading on per-stream leaves and second
+    on stacked-carry / ring leaves ([layer, S, H] / [W, S, 60]); scalars
+    and shared leaves replicate. Leaves are matched by `n_streams` so the
+    helper stays agnostic to the exact NamedTuple."""
+    def spec_of(x):
+        shape = np.shape(x)
+        if len(shape) >= 1 and shape[0] == n_streams:
+            return NamedSharding(mesh, P(axis_name))
+        if len(shape) >= 2 and shape[1] == n_streams:
+            return NamedSharding(mesh, P(None, axis_name))
+        return NamedSharding(mesh, P())
+    # one device_put for the whole pytree (transfer-batching rule)
+    return jax.device_put(
+        state, jax.tree_util.tree_map(spec_of, state))
+
+
 def pad_batch_to_multiple(batch: dict, multiple: int,
                           batch_dim: int = 0) -> dict:
     """Pad the batch dim so it divides the mesh; padded rows get length 0 so

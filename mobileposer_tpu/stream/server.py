@@ -45,12 +45,27 @@ class PoseServer:
     def __init__(self, net: MobilePoserNet, params: dict,
                  host: str = "0.0.0.0", port: int = 9000,
                  max_streams: int = 64, tick_hz: float = 30.0,
-                 idle_timeout: float = 30.0, mode: str = "exact"):
+                 idle_timeout: float = 30.0, mode: str = "exact",
+                 mesh=None):
         """mode='exact' serves the reference window semantics
         (forward_online_batched); mode='carry' serves the opt-in
         approximation (models/streaming.py) at ~4.5x the throughput —
-        validate accuracy on real checkpoints first (docs/parity.md)."""
+        validate accuracy on real checkpoints first (docs/parity.md).
+
+        mesh: optional 1-D `jax.sharding.Mesh` — the stream slots are
+        sharded over its data axis and the parameters replicated, so one
+        server scales a serving fleet across every local chip (the
+        per-stream forward has no cross-stream ops, so GSPMD inserts no
+        collectives and replies are identical to single-device)."""
         self.net = net
+        self.mesh = mesh
+        if mesh is not None and max_streams % mesh.devices.size:
+            raise ValueError(
+                f"max_streams={max_streams} must divide evenly over the "
+                f"{mesh.devices.size}-device mesh")
+        if mesh is not None:
+            from mobileposer_tpu.parallel import replicate_params
+            params = replicate_params(params, mesh)
         self.params = params
         self.max_streams = max_streams
         self.tick_period = 1.0 / tick_hz
@@ -125,6 +140,18 @@ class PoseServer:
                 last_rfoot=st.last_rfoot.at[slot].set(rf),
                 current_root_y=st.current_root_y.at[slot].set(0.0),
                 last_root_pos=st.last_root_pos.at[slot].set(0.0)))
+
+        if mesh is not None:
+            # stream axis sharded, fusion scalars replicated; ONE placement
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from mobileposer_tpu.parallel import (DATA_AXIS,
+                                                  shard_stream_state)
+            self.states = shard_stream_state(self.states, max_streams, mesh)
+            self._frame_sharding = NamedSharding(mesh,
+                                                 PartitionSpec(DATA_AXIS))
+        else:
+            self._frame_sharding = None
 
         self._stop = threading.Event()
         self.frames_served = 0
@@ -205,8 +232,11 @@ class PoseServer:
         active = np.nonzero(self.has_frame)[0]
         if active.size == 0:
             return 0
+        frames = np.asarray(self.pending, self.dtype)
+        if self._frame_sharding is not None:
+            frames = jax.device_put(frames, self._frame_sharding)
         (pose, joints, root, contact), self.states = self._step(
-            self.params, self.states, jnp.asarray(self.pending, self.dtype))
+            self.params, self.states, jnp.asarray(frames))
         # ONE batched fetch for all reply fields: three sequential
         # np.asarray calls cost two extra transport round trips per tick
         # (~60 ms against a 33 ms budget on tunneled devices)

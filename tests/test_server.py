@@ -260,3 +260,52 @@ def test_nonfinite_frames_dropped():
         srv.stop()
         thread.join(timeout=5)
         srv.close()
+
+
+def test_sharded_server_matches_unsharded():
+    """A serving fleet sharded over the 8-device mesh (PoseServer(mesh=...))
+    replies identically to the single-device server: the per-stream forward
+    has no cross-stream ops, so GSPMD only spreads the slots."""
+    from mobileposer_tpu.parallel import make_mesh
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    rng = np.random.RandomState(3)
+    frames = [rng.randn(60).astype(np.float32) * 0.1 for _ in range(4)]
+    replies = {}
+    for name, m in [("single", None), ("sharded", mesh)]:
+        srv = PoseServer(net, params, host="127.0.0.1", port=0,
+                         max_streams=8, tick_hz=240.0, mesh=m)
+        thread = threading.Thread(target=srv.run, daemon=True)
+        thread.start()
+        client = PoseClient(stream_id=7, port=srv.port)
+        try:
+            out = []
+            for f in frames:
+                client.send_frame(f)
+                r = None
+                deadline = time.time() + 120          # first tick compiles
+                while r is None and time.time() < deadline:
+                    r = client.recv_pose()
+                assert r is not None, f"{name}: no reply"
+                out.append(np.concatenate(r))
+            replies[name] = np.stack(out)
+        finally:
+            client.close()
+            srv.stop()
+            thread.join(timeout=10)
+            srv.close()
+    np.testing.assert_allclose(replies["sharded"], replies["single"],
+                               atol=1e-4)
+
+
+def test_sharded_server_rejects_uneven_slots():
+    from mobileposer_tpu.parallel import make_mesh
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="divide"):
+        PoseServer(net, params, host="127.0.0.1", port=0, max_streams=5,
+                   mesh=make_mesh())
