@@ -36,7 +36,7 @@ def main(argv=None) -> None:
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard the evaluation batches over all local "
                              "devices (evaluate_pose(mesh=...); metrics "
-                             "are identical to single-device)")
+                             "equal single-device to <=1e-4)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 inference dtype (+16%% eval throughput "
                              "on v5e-1; metrics computed f32 on cast-back "

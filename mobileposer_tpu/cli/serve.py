@@ -29,7 +29,7 @@ def main(argv=None) -> None:
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard the stream slots over all local "
                              "devices (params replicated; replies are "
-                             "identical to single-device)")
+                             "equal to single-device to <=1e-4)")
     parser.add_argument("--carry", action="store_true",
                         help="carry-mode streaming (models/streaming.py): "
                              "~4.5x throughput, approximate window "

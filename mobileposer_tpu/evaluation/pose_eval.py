@@ -111,26 +111,25 @@ def _sharding_helpers(mesh):
         return asarr, asarr, (lambda st, n: st)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from mobileposer_tpu.parallel import shard_stream_state
+
+    # host-side dtype cast, then ONE host->sharded transfer per array
+    # (jnp.asarray first would commit the whole batch to device 0 and
+    # reshard device-to-device — a double transfer)
     def shard_rows(x, dtype=None):            # [B, ...]: batch-dim sharded
+        x = np.asarray(x, dtype)
         spec = P("data", *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(jnp.asarray(x, dtype),
-                              NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     def shard_streams(x, dtype=None):         # [T, S, ...]: stream sharded
+        x = np.asarray(x, dtype)
         spec = P(None, "data", *([None] * (np.ndim(x) - 2)))
-        return jax.device_put(jnp.asarray(x, dtype),
-                              NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     def shard_state(st, n_streams):
-        def leaf(x):
-            x = np.asarray(x)
-            if x.ndim >= 1 and x.shape[0] == n_streams:
-                return jax.device_put(x, NamedSharding(mesh, P("data")))
-            if x.ndim >= 2 and x.shape[1] == n_streams:
-                return jax.device_put(x, NamedSharding(mesh,
-                                                       P(None, "data")))
-            return jax.device_put(x, NamedSharding(mesh, P()))
-        return jax.tree_util.tree_map(leaf, st)
+        # exact per-field stream axes (STREAM_AXES) + one device_put for
+        # the whole pytree (per-leaf puts pay a transport round per leaf)
+        return shard_stream_state(st, n_streams, mesh)
 
     return shard_rows, shard_streams, shard_state
 
@@ -284,9 +283,11 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
             dtype = jnp.bfloat16
         if mesh is not None:
             # data-parallel evaluation: params replicated once, every
-            # prediction batch sharded over the mesh's data axis (GSPMD
-            # inserts nothing — the forward has no cross-row ops — so the
-            # metrics are bit-identical to single-device)
+            # prediction batch sharded over the mesh's data axis. The
+            # forward has no cross-row ops so GSPMD inserts no
+            # collectives; metrics agree with single-device to <=1e-4
+            # (test-pinned — batch padding and per-shard tiling can move
+            # low-order bits, so the agreement is numeric, not bitwise)
             from mobileposer_tpu.parallel import replicate_params
             params = replicate_params(params, mesh)
         offline_preds = _predict_offline_batched(net, params, imus, _BUCKET,

@@ -383,6 +383,15 @@ class MobilePoserNet:
         current_root_y: jnp.ndarray
         last_root_pos: jnp.ndarray  # [3]
 
+    # Stream-axis index per field for BATCHED states (stream axis leading
+    # everywhere except the [n_layers, S, H] velocity carry). Consumed by
+    # parallel.shard_stream_state so fleet sharding never guesses from
+    # shapes (a max_streams that collides with n_layers/window length
+    # would defeat the slot spreading).
+    OnlineState.STREAM_AXES = OnlineState(
+        imu=0, initialized=0, vel_h=1, vel_c=1, last_lfoot=0,
+        last_rfoot=0, current_root_y=0, last_root_pos=0)
+
     def init_online_state(self, dtype=jnp.float32) -> "MobilePoserNet.OnlineState":
         """Fresh streaming state (reference: net.py:58-64 + reset, net.py:84).
 

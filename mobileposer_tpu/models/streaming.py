@@ -214,6 +214,19 @@ class CarryState(NamedTuple):
     last_root_pos: jnp.ndarray   # [S, 3]
 
 
+# Stream-axis index per field (rings and stacked LSTM carries keep the
+# stream axis second; everything else leads with it). Consumed by
+# parallel.shard_stream_state — see MobilePoserNet.OnlineState.STREAM_AXES.
+CarryState.STREAM_AXES = CarryState(
+    imu_ring=1, initialized=0,
+    joints=JointsCarry(x1_ring=1, f1_ring=1, f1_h=0, f1_c=0,
+                       f2_h=0, f2_c=0),
+    poser=BiCarry(f1_h=0, f1_c=0, f2_h=0, f2_c=0),
+    footcontact=BiCarry(f1_h=0, f1_c=0, f2_h=0, f2_c=0),
+    vel_h=1, vel_c=1, last_lfoot=0, last_rfoot=0,
+    current_root_y=0, last_root_pos=0)
+
+
 def init_carry_state_batched(net, n_streams: int, dtype=jnp.float32
                              ) -> CarryState:
     """Host-built fresh state (numpy; eager device ops in setup code cost

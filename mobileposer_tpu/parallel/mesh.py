@@ -65,26 +65,40 @@ def replicate_params(params, mesh: Mesh):
 
 
 def shard_stream_state(state, n_streams: int, mesh: Mesh,
-                       axis_name: str = DATA_AXIS):
+                       axis_name: str = DATA_AXIS, stream_axes=None):
     """Place a batched streaming-state pytree onto the mesh with the STREAM
     axis sharded (serving fleets: params replicated, slots spread over
     devices — the layout the driver dryrun and `PoseServer(mesh=...)` use).
 
-    Streaming states (`init_online_state_batched` / `init_carry_state_
-    batched`) keep the stream axis leading on per-stream leaves and second
-    on stacked-carry / ring leaves ([layer, S, H] / [W, S, 60]); scalars
-    and shared leaves replicate. Leaves are matched by `n_streams` so the
-    helper stays agnostic to the exact NamedTuple."""
-    def spec_of(x):
-        shape = np.shape(x)
-        if len(shape) >= 1 and shape[0] == n_streams:
-            return NamedSharding(mesh, P(axis_name))
-        if len(shape) >= 2 and shape[1] == n_streams:
-            return NamedSharding(mesh, P(None, axis_name))
-        return NamedSharding(mesh, P())
+    The stream axis per leaf comes from `stream_axes` (a matching pytree
+    of ints), or from the state class's `STREAM_AXES` attribute
+    (`MobilePoserNet.OnlineState` / `models.streaming.CarryState` declare
+    theirs) — exact, never inferred. For unknown pytrees without either,
+    a shape heuristic matches leaves by `n_streams` (leading axis first);
+    that guess is ambiguous when n_streams collides with another dimension
+    (layer stacks, ring length), so named states declare their axes."""
+    if stream_axes is None:
+        stream_axes = getattr(type(state), "STREAM_AXES", None)
+
+    def spec_for_axis(x, ax):
+        if np.ndim(x) == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*([None] * ax), axis_name))
+
+    if stream_axes is not None:
+        shardings = jax.tree_util.tree_map(spec_for_axis, state,
+                                           stream_axes)
+    else:
+        def spec_of(x):
+            shape = np.shape(x)
+            if len(shape) >= 1 and shape[0] == n_streams:
+                return NamedSharding(mesh, P(axis_name))
+            if len(shape) >= 2 and shape[1] == n_streams:
+                return NamedSharding(mesh, P(None, axis_name))
+            return NamedSharding(mesh, P())
+        shardings = jax.tree_util.tree_map(spec_of, state)
     # one device_put for the whole pytree (transfer-batching rule)
-    return jax.device_put(
-        state, jax.tree_util.tree_map(spec_of, state))
+    return jax.device_put(state, shardings)
 
 
 def pad_batch_to_multiple(batch: dict, multiple: int,

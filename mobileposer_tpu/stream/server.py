@@ -56,7 +56,8 @@ class PoseServer:
         sharded over its data axis and the parameters replicated, so one
         server scales a serving fleet across every local chip (the
         per-stream forward has no cross-stream ops, so GSPMD inserts no
-        collectives and replies are identical to single-device)."""
+        collectives; replies agree with single-device to <=1e-4,
+        test-pinned — per-shard tiling can move low-order bits)."""
         self.net = net
         self.mesh = mesh
         if mesh is not None and max_streams % mesh.devices.size:

@@ -272,3 +272,44 @@ def test_online_protocol_carry_mode(net, params, tmp_path):
     with pytest.raises(ValueError):
         evaluate_pose(net, params, view, online=True, verbose=False,
                       online_mode="carry", batch_sequences=False)
+
+
+def test_shard_stream_state_exact_axes_beat_shape_collision(net):
+    """STREAM_AXES declarations make fleet sharding exact: with S equal to
+    the velocity carry's layer-stack size (n_layers=2), the old shape
+    heuristic would shard the LAYER axis of [n_layers, S, H] leaves; the
+    declared axes shard the stream axis regardless."""
+    from jax.sharding import PartitionSpec as P
+    from mobileposer_tpu.parallel import make_mesh, shard_stream_state
+
+    mesh = make_mesh(2)
+    S = 2  # collides with n_layers=2 of the stacked velocity carry
+
+    st = shard_stream_state(net.init_carry_state_batched(S), S, mesh)
+    assert st.vel_h.sharding.spec == P(None, "data")       # [L, S, H]
+    assert st.imu_ring.sharding.spec == P(None, "data")    # [W, S, 60]
+    assert st.joints.f1_h.sharding.spec == P("data")       # [S, H]
+    assert st.initialized.sharding.spec == P("data")       # [S]
+
+    stw = shard_stream_state(net.init_online_state_batched(S), S, mesh)
+    assert stw.vel_h.sharding.spec == P(None, "data")
+    assert stw.imu.sharding.spec == P("data")              # [S, W, 60]
+    assert stw.initialized.sharding.spec == P("data")
+
+
+def test_stream_axes_match_state_structure(net):
+    """STREAM_AXES pytrees mirror the real state structure exactly (a new
+    state field without a declared axis fails here, loudly) and every
+    declared axis indexes a real dimension of its leaf."""
+    for make, axes in [
+            (net.init_carry_state_batched,
+             type(net.init_carry_state_batched(4)).STREAM_AXES),
+            (net.init_online_state_batched,
+             type(net.init_online_state_batched(4)).STREAM_AXES)]:
+        st = make(4)
+        assert (jax.tree_util.tree_structure(st)
+                == jax.tree_util.tree_structure(axes))
+        for leaf, ax in zip(jax.tree_util.tree_leaves(st),
+                            jax.tree_util.tree_leaves(axes)):
+            assert 0 <= ax < np.ndim(leaf)
+            assert np.shape(leaf)[ax] == 4
