@@ -1,6 +1,7 @@
 """Device-mesh / sharding helpers (GSPMD data parallelism)."""
 
 from mobileposer_tpu.parallel.distributed import (  # noqa: F401
+    global_batch_from_host_slices,
     host_local_batch_slice,
     initialize_distributed,
 )

@@ -12,6 +12,12 @@ backend). On TPU pods the same jitted train step scales by:
 
 XLA places the gradient all-reduce over ICI within a slice and DCN across
 slices; nothing else changes relative to single-chip training.
+
+The whole recipe is exercised for real by
+`tests/test_distributed.py::test_two_process_cluster_gradients_match_single_process`:
+two OS processes form a jax.distributed cluster over localhost (Gloo
+collectives between separate runtimes) and the psum-mean gradients over
+the global mesh are pinned equal to single-process full-batch gradients.
 """
 
 from __future__ import annotations
@@ -62,3 +68,26 @@ def host_local_batch_slice(global_batch_size: int,
             f"{n_proc} processes; pad the batch or change the host count")
     per_host = global_batch_size // n_proc
     return pid * per_host, per_host
+
+
+def global_batch_from_host_slices(batch: dict, mesh, axis_name: str = "data",
+                                  batch_dim: int = 0):
+    """Assemble per-host batch shards into global `jax.Array`s (step 3 of
+    the module recipe). Each process passes only its OWN host-local slice
+    (`host_local_batch_slice`); the result's batch dim is the concatenation
+    over processes, sharded over `axis_name` of the (multi-host) mesh.
+
+    The spec rule mirrors `parallel.mesh.shard_batch` (1-D arrays such as
+    `lengths` shard on their only axis; batch_dim=1 for time-major), so a
+    multi-host trainer feeds the SAME jitted train step this helper's
+    output where a single-host one feeds `shard_batch`'s. Single-process
+    meshes degenerate to exactly `shard_batch` semantics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def leaf(x):
+        import numpy as np
+        d = 0 if np.ndim(x) <= 1 else batch_dim
+        sharding = NamedSharding(mesh, P(*([None] * d), axis_name))
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(x))
+    return {k: leaf(v) for k, v in batch.items()}

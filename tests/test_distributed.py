@@ -1,8 +1,11 @@
 """Tests for the multi-host helpers (SURVEY 2.24, reference-absent).
 
-The multi-host DCN leg cannot run on this host; what IS testable is the
-host-slicing arithmetic (pure Python) and the single-process no-op
-behavior of `initialize_distributed`.
+Covers the host-slicing arithmetic (pure Python), the single-process
+no-op / env wiring of `initialize_distributed`, and — via two spawned OS
+processes forming a real jax.distributed cluster over localhost (Gloo
+collectives between separate runtimes) — the full multi-host recipe:
+initialize -> global mesh -> host-local slices -> global-array assembly
+-> psum-mean gradients identical to single-process full-batch.
 """
 
 import numpy as np
@@ -75,3 +78,48 @@ def test_initialize_distributed_env_wiring(monkeypatch):
     assert initialize_distributed() is True
     assert called == {"coordinator_address": "10.0.0.1:1234",
                       "num_processes": 4, "process_id": 3}
+
+
+def test_two_process_cluster_gradients_match_single_process(tmp_path):
+    """REAL multi-process leg: two OS processes form a jax.distributed
+    cluster (coordinator on localhost, Gloo for cross-process collectives),
+    each contributes its host-local batch slice, and the psum-mean LSTM
+    gradient over the global mesh equals the single-process full-batch
+    gradient (asserted inside each worker — tests/_distributed_worker.py)."""
+    import os
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    worker = repo / "tests" / "_distributed_worker.py"
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs, logs = [], []
+    for pid in range(2):
+        env = dict(os.environ,
+                   PYTHONPATH=str(repo),
+                   JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+        log = open(tmp_path / f"worker{pid}.log", "w+")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], cwd=repo, env=env,
+            stdout=log, stderr=subprocess.STDOUT))
+    try:
+        rcs = [p.wait(timeout=240) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    outs = []
+    for log in logs:
+        log.seek(0)
+        outs.append(log.read())
+        log.close()
+    for pid, (rc, out) in enumerate(zip(rcs, outs)):
+        assert rc == 0, f"worker {pid} rc={rc}\n{out[-3000:]}"
+        assert f"DIST_OK proc={pid}" in out, out[-3000:]
