@@ -99,5 +99,42 @@ for g, r in zip(jax.tree_util.tree_leaves(grads_g),
     np.testing.assert_allclose(fetch(g), np.asarray(r),
                                rtol=1e-4, atol=1e-6)
 
+# --- the REAL train step over the same cluster -------------------------
+# make_shard_map_train_step is the program a TPU-pod deployment runs; here
+# its psum-mean gradient all-reduce crosses OS processes. Every process
+# must end with the identical loss and updated params (the parent compares
+# the printed digest across workers).
+from jax.sharding import NamedSharding  # noqa: E402
+
+from mobileposer_tpu.train import (  # noqa: E402
+    init_train_state,
+    make_shard_map_train_step,
+)
+
+T2 = 8
+rng2 = np.random.RandomState(11)
+full_batch = {
+    "imu": rng2.randn(GLOBAL_B, T2, 60).astype(np.float32) * 0.1,
+    "joints": rng2.randn(GLOBAL_B, T2, 72).astype(np.float32) * 0.1,
+    "contacts": (rng2.rand(GLOBAL_B, T2, 2) > 0.5).astype(np.float32),
+    "lengths": np.full((GLOBAL_B,), T2, np.int32),
+}
+gbatch2 = global_batch_from_host_slices(
+    {k: v[start:start + size] for k, v in full_batch.items()}, mesh)
+
+state = init_train_state("footcontact", jax.random.PRNGKey(1), lr=1e-3)
+state = jax.tree_util.tree_map(np.asarray, state)
+rep = NamedSharding(mesh, P())
+state = jax.device_put(state,
+                       jax.tree_util.tree_map(lambda _: rep, state))
+step = make_shard_map_train_step("footcontact", lr=1e-3, mesh=mesh)
+p_before = fetch(jax.tree_util.tree_leaves(state.params)[0])
+state, loss = step(state, gbatch2, np.asarray(jax.random.PRNGKey(2)))
+loss_val = float(fetch(loss))
+assert np.isfinite(loss_val), loss_val
+p_after = fetch(jax.tree_util.tree_leaves(state.params)[0])
+assert not np.array_equal(p_before, p_after), "optimizer did not update"
+print(f"TRAIN_LOSS={loss_val:.9e}", flush=True)
+
 print(f"DIST_OK proc={jax.process_index()}", flush=True)
 sys.exit(0)

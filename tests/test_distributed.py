@@ -110,7 +110,7 @@ def test_two_process_cluster_gradients_match_single_process(tmp_path):
             [sys.executable, str(worker)], cwd=repo, env=env,
             stdout=log, stderr=subprocess.STDOUT))
     try:
-        rcs = [p.wait(timeout=240) for p in procs]
+        rcs = [p.wait(timeout=420) for p in procs]
     finally:
         for p in procs:
             if p.poll() is None:
@@ -123,3 +123,8 @@ def test_two_process_cluster_gradients_match_single_process(tmp_path):
     for pid, (rc, out) in enumerate(zip(rcs, outs)):
         assert rc == 0, f"worker {pid} rc={rc}\n{out[-3000:]}"
         assert f"DIST_OK proc={pid}" in out, out[-3000:]
+    # the shard_map train step's psum-mean loss must come out IDENTICAL on
+    # both processes (each worker prints its replicated copy)
+    losses = [next(line for line in out.splitlines()
+                   if line.startswith("TRAIN_LOSS=")) for out in outs]
+    assert losses[0] == losses[1], losses
