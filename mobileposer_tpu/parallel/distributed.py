@@ -38,8 +38,14 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         "JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return False
-    num_processes = int(num_processes or os.environ.get("JAX_NUM_PROCESSES", 1))
-    process_id = int(process_id or os.environ.get("JAX_PROCESS_ID", 0))
+    # `is not None` (not truthiness): an explicit process_id=0 must beat a
+    # stale JAX_PROCESS_ID inherited from the environment
+    if num_processes is None:
+        num_processes = os.environ.get("JAX_NUM_PROCESSES", 1)
+    if process_id is None:
+        process_id = os.environ.get("JAX_PROCESS_ID", 0)
+    num_processes = int(num_processes)
+    process_id = int(process_id)
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

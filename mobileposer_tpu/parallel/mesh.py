@@ -83,6 +83,14 @@ def shard_stream_state(state, n_streams: int, mesh: Mesh,
     def spec_for_axis(x, ax):
         if np.ndim(x) == 0:
             return NamedSharding(mesh, P())
+        if np.shape(x)[ax] != n_streams:
+            # loud, not silently wrong: an UNBATCHED state shares the class
+            # (and therefore STREAM_AXES) with its batched variant — its
+            # declared axis indexes a window/layer dimension instead
+            raise ValueError(
+                f"declared stream axis {ax} of a leaf with shape "
+                f"{np.shape(x)} does not have size n_streams={n_streams}; "
+                "is this state batched (init_*_state_batched)?")
         return NamedSharding(mesh, P(*([None] * ax), axis_name))
 
     if stream_axes is not None:

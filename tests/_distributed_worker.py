@@ -13,7 +13,12 @@ process can compute that reference locally — the data is seeded).
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+# 2 virtual devices per process: REPLACE any inherited device-count flag
+# (the pytest parent's conftest exports 8) but keep every other XLA flag
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(
+    _flags + ["--xla_force_host_platform_device_count=2"])
 
 import jax  # noqa: E402
 
@@ -104,8 +109,6 @@ for g, r in zip(jax.tree_util.tree_leaves(grads_g),
 # its psum-mean gradient all-reduce crosses OS processes. Every process
 # must end with the identical loss and updated params (the parent compares
 # the printed digest across workers).
-from jax.sharding import NamedSharding  # noqa: E402
-
 from mobileposer_tpu.train import (  # noqa: E402
     init_train_state,
     make_shard_map_train_step,

@@ -94,32 +94,43 @@ def test_two_process_cluster_gradients_match_single_process(tmp_path):
 
     repo = pathlib.Path(__file__).resolve().parents[1]
     worker = repo / "tests" / "_distributed_worker.py"
-    with socket.socket() as s:  # free localhost port for the coordinator
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
 
-    procs, logs = [], []
-    for pid in range(2):
-        env = dict(os.environ,
-                   PYTHONPATH=str(repo),
-                   JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
-        log = open(tmp_path / f"worker{pid}.log", "w+")
-        logs.append(log)
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker)], cwd=repo, env=env,
-            stdout=log, stderr=subprocess.STDOUT))
-    try:
-        rcs = [p.wait(timeout=420) for p in procs]
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    outs = []
-    for log in logs:
-        log.seek(0)
-        outs.append(log.read())
-        log.close()
+    def run_cluster(attempt):
+        # the probe socket closes before the coordinator binds the port —
+        # a TOCTOU window another process can win, hence the retry below
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs, logs = [], []
+        for pid in range(2):
+            env = dict(os.environ,
+                       PYTHONPATH=str(repo),
+                       JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                       JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+            log = open(tmp_path / f"worker{pid}.{attempt}.log", "w+")
+            logs.append(log)
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker)], cwd=repo, env=env,
+                stdout=log, stderr=subprocess.STDOUT))
+        try:
+            rcs = [p.wait(timeout=420) for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        outs = []
+        for log in logs:
+            log.seek(0)
+            outs.append(log.read())
+            log.close()
+        return rcs, outs
+
+    for attempt in range(3):
+        rcs, outs = run_cluster(attempt)
+        if rcs == [0, 0] or not any(
+                "Failed to bind" in o or "address already in use" in o.lower()
+                for o in outs):
+            break  # success, or a real failure (don't mask it by retrying)
     for pid, (rc, out) in enumerate(zip(rcs, outs)):
         assert rc == 0, f"worker {pid} rc={rc}\n{out[-3000:]}"
         assert f"DIST_OK proc={pid}" in out, out[-3000:]
@@ -128,3 +139,18 @@ def test_two_process_cluster_gradients_match_single_process(tmp_path):
     losses = [next(line for line in out.splitlines()
                    if line.startswith("TRAIN_LOSS=")) for out in outs]
     assert losses[0] == losses[1], losses
+
+
+def test_initialize_distributed_explicit_zero_beats_env(monkeypatch):
+    """An explicit process_id=0 must win over a stale JAX_PROCESS_ID in the
+    environment (0 is falsy — `or` chaining would discard it)."""
+    import jax
+    called = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.update(kw))
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "8")
+    assert initialize_distributed("10.0.0.1:1234", num_processes=2,
+                                  process_id=0) is True
+    assert called == {"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 2, "process_id": 0}

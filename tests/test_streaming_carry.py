@@ -313,3 +313,12 @@ def test_stream_axes_match_state_structure(net):
                             jax.tree_util.tree_leaves(axes)):
             assert 0 <= ax < np.ndim(leaf)
             assert np.shape(leaf)[ax] == 4
+
+
+def test_shard_stream_state_rejects_unbatched_state(net):
+    """An UNBATCHED state shares its class (and STREAM_AXES) with the
+    batched variant; sharding it must fail loudly instead of spreading a
+    window/layer axis over the mesh."""
+    from mobileposer_tpu.parallel import make_mesh, shard_stream_state
+    with pytest.raises(ValueError, match="n_streams"):
+        shard_stream_state(net.init_online_state(), 1, make_mesh(1))
