@@ -17,10 +17,22 @@ def main(argv=None) -> None:
     parser.add_argument("--out", default=None)
     parser.add_argument("--finetune", default=None,
                         help="take joints/poser from finetuned_<dataset>")
+    parser.add_argument("--export-torch", default=None, metavar="PATH",
+                        help="also write the combined weights as a "
+                             "reference-format torch state_dict "
+                             "(combine_weights.py:41-56 layout) so the "
+                             "reference implementation can evaluate a "
+                             "checkpoint trained here")
     args = parser.parse_args(argv)
     out = combine_weights(args.checkpoint_dir, args.out,
                           finetune=args.finetune)
     print(f"Model written to {out}.")
+    if args.export_torch:
+        from mobileposer_tpu.nn import save_torch_checkpoint
+        from mobileposer_tpu.nn.torch_convert import load_from_npz
+        save_torch_checkpoint(load_from_npz(out), args.export_torch)
+        print(f"Reference-format torch checkpoint written to "
+              f"{args.export_torch}.")
 
 
 if __name__ == "__main__":

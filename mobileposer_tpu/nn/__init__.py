@@ -19,7 +19,10 @@ from mobileposer_tpu.nn.torch_convert import (  # noqa: F401
     cast_params,
     convert_mobileposer_checkpoint,
     convert_rnn_state_dict,
+    export_rnn_state_dict,
     export_to_npz,
+    export_to_torch_state_dict,
     load_from_npz,
     load_torch_state_dict,
+    save_torch_checkpoint,
 )

@@ -83,6 +83,58 @@ def convert_mobileposer_checkpoint(sd_or_path, configs: Mapping[str, LSTMConfig]
             for name in configs}
 
 
+def export_rnn_state_dict(params: dict, prefix: str) -> Dict[str, np.ndarray]:
+    """Inverse of convert_rnn_state_dict: one RNN block back to torch
+    state_dict keys (numpy values; transpose-only, exact)."""
+    sd = {
+        f"{prefix}.linear1.weight": np.asarray(params["linear1"]["w"],
+                                               np.float32).T.copy(),
+        f"{prefix}.linear1.bias": np.asarray(params["linear1"]["b"],
+                                             np.float32).copy(),
+        f"{prefix}.linear2.weight": np.asarray(params["linear2"]["w"],
+                                               np.float32).T.copy(),
+        f"{prefix}.linear2.bias": np.asarray(params["linear2"]["b"],
+                                             np.float32).copy(),
+    }
+    for layer, dirs in enumerate(params["lstm"]):
+        for dname, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            if dname not in dirs:
+                continue
+            d = dirs[dname]
+            sd[f"{prefix}.rnn.weight_ih_l{layer}{suffix}"] = \
+                np.asarray(d["w_ih"], np.float32).T.copy()
+            sd[f"{prefix}.rnn.weight_hh_l{layer}{suffix}"] = \
+                np.asarray(d["w_hh"], np.float32).T.copy()
+            sd[f"{prefix}.rnn.bias_ih_l{layer}{suffix}"] = \
+                np.asarray(d["b_ih"], np.float32).copy()
+            sd[f"{prefix}.rnn.bias_hh_l{layer}{suffix}"] = \
+                np.asarray(d["b_hh"], np.float32).copy()
+    return sd
+
+
+def export_to_torch_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Our trained params pytree -> the reference's COMBINED state_dict
+    layout (reference combine_weights.py:41-56 prefixes), so parity day can
+    also run the other direction: load a checkpoint trained HERE into the
+    reference implementation and evaluate it with the reference's own
+    evaluate.py. Exact inverse of convert_mobileposer_checkpoint
+    (roundtrip pinned in tests/test_lstm.py)."""
+    sd: Dict[str, np.ndarray] = {}
+    for name, prefix in COMBINED_PREFIXES.items():
+        if name in params:
+            sd.update(export_rnn_state_dict(params[name], prefix))
+    return sd
+
+
+def save_torch_checkpoint(params: dict, path: str) -> None:
+    """torch.save the reference-format combined state_dict (torch tensors,
+    loadable by the reference's load_model — utils/model_utils.py:6-15)."""
+    import torch
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_to_torch_state_dict(params).items()}
+    torch.save(sd, path)
+
+
 @functools.lru_cache(maxsize=None)
 def _cast_program(dtype_str: str):
     import jax

@@ -219,3 +219,32 @@ def test_cli_finetune_concurrent(workspace, datasets, body, monkeypatch):
     combined = combine_weights(workspace / "ckpt", finetune="dip")
     assert set(load_combined_weights(combined)) == {
         "joints", "poser", "footcontact", "velocity"}
+
+
+def test_cli_combine_export_torch(workspace):
+    """combine_weights --export-torch also writes the reference-format
+    torch state_dict; converting it back reproduces the combined pytree."""
+    import torch
+
+    from mobileposer_tpu.cli import combine_weights as combine_cli
+    from mobileposer_tpu.models import MODULE_CONFIGS
+    from mobileposer_tpu.nn import convert_mobileposer_checkpoint
+    from mobileposer_tpu.nn.lstm import init_rnn
+    from mobileposer_tpu.nn.torch_convert import export_to_npz
+
+    import jax
+
+    ckpt_dir = workspace / "ckpt_export"
+    for i, (name, cfg) in enumerate(MODULE_CONFIGS.items()):
+        d = ckpt_dir / name
+        d.mkdir(parents=True)
+        export_to_npz(init_rnn(jax.random.PRNGKey(i), cfg),
+                      d / "epoch=0-valloss=0.1000.npz")
+    out = ckpt_dir / "base_model.npz"
+    pt = ckpt_dir / "ref_format.pt"
+    combine_cli.main(["--checkpoint-dir", str(ckpt_dir),
+                      "--out", str(out), "--export-torch", str(pt)])
+    assert out.exists() and pt.exists()
+    sd = torch.load(pt, map_location="cpu", weights_only=False)
+    back = convert_mobileposer_checkpoint(sd, MODULE_CONFIGS)
+    assert set(back) == set(MODULE_CONFIGS)

@@ -158,3 +158,45 @@ def test_dropout_train_mode():
     y_train = fn(params, x, jax.random.PRNGKey(1))
     assert y_eval.shape == y_train.shape
     assert not np.allclose(np.asarray(y_eval), np.asarray(y_train))
+
+
+@pytest.mark.parametrize("cfg", CFGS)
+def test_reverse_export_loads_into_torch(cfg):
+    """export_rnn_state_dict is the exact inverse mapping: our params load
+    into the torch replica with strict key checking, and the torch forward
+    matches ours — the parity-day path for evaluating a checkpoint trained
+    HERE with the reference implementation."""
+    from mobileposer_tpu.nn import export_rnn_state_dict
+    from mobileposer_tpu.nn.lstm import init_rnn
+    params = init_rnn(jax.random.PRNGKey(3), cfg)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    sd = {k[len("m."):]: torch.from_numpy(v)
+          for k, v in export_rnn_state_dict(params, "m").items()}
+    tm = TorchRNN(cfg)
+    tm.load_state_dict(sd, strict=True)    # exact key/shape coverage
+    x = np.random.RandomState(0).randn(3, 11, cfg.n_input).astype(np.float32)
+    with torch.no_grad():
+        y_t, _ = tm(torch.from_numpy(x))
+    y_j, _ = rnn_apply(params, cfg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(), atol=2e-5)
+
+
+def test_torch_checkpoint_roundtrip(tmp_path):
+    """save_torch_checkpoint -> torch.load -> convert_mobileposer_checkpoint
+    reproduces the original params pytree exactly (both directions are
+    transpose-only)."""
+    from mobileposer_tpu.models import MODULE_CONFIGS, init_all_modules
+    from mobileposer_tpu.nn import convert_mobileposer_checkpoint
+    from mobileposer_tpu.nn.torch_convert import save_torch_checkpoint
+    params = jax.tree_util.tree_map(
+        np.asarray, init_all_modules(jax.random.PRNGKey(4)))
+    path = tmp_path / "ref_format.pt"
+    save_torch_checkpoint(params, str(path))
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    back = convert_mobileposer_checkpoint(sd, MODULE_CONFIGS)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for key, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[key]), err_msg=str(key))
