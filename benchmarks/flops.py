@@ -24,8 +24,59 @@ TPU_PEAK_FLOPS = {
     "v5e": 197e12,
     "v5p": 459e12,
     "v4": 275e12,
+    "v6e": 918e12,
 }
 DEFAULT_PEAK = TPU_PEAK_FLOPS["v5e"]
+
+
+def device_kind() -> str:
+    """`jax.devices()[0].device_kind` (e.g. 'TPU v5 lite'), or the backend
+    name when the attribute is absent (cpu)."""
+    import jax
+    d = jax.devices()[0]
+    return getattr(d, "device_kind", None) or jax.default_backend()
+
+
+def nominal_peak_for(kind: str | None = None) -> float:
+    """Nominal bf16 dense peak for a device_kind string; DEFAULT_PEAK when
+    the kind is unrecognized (reports carry the kind alongside, so an
+    unmapped kind is visible rather than silently wrong)."""
+    kind = (kind or device_kind()).lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return TPU_PEAK_FLOPS["v5e"]
+    if "v5p" in kind or "v5" in kind:
+        return TPU_PEAK_FLOPS["v5p"]
+    if "v6" in kind:
+        return TPU_PEAK_FLOPS["v6e"]
+    if "v4" in kind:
+        return TPU_PEAK_FLOPS["v4"]
+    return DEFAULT_PEAK
+
+
+def mfu_fields(flops_per_sec: float, chip_tflops: float | None = None,
+               peak: float | None = None) -> dict:
+    """The standard MFU triplet for a bench row:
+
+      pct_of_peak — vs the NOMINAL peak of the detected device kind
+                    (cross-chip comparable, but the pool's chips measure
+                    above/below nominal);
+      pct_of_chip — vs THIS chip's measured matmul fingerprint (the honest
+                    per-run utilization; the >100% honesty guard fires on
+                    this one, since a fast chip day must not read as a
+                    broken harness and a >nominal chip must not silently
+                    exceed '100% of peak');
+      honesty_flag — set when pct_of_chip > 105 (the harness, not the
+                    chip, made the number).
+    """
+    peak = peak if peak is not None else nominal_peak_for()
+    out = {"model_flops_per_sec": round(flops_per_sec),
+           "pct_of_peak": round(100.0 * flops_per_sec / peak, 2)}
+    if chip_tflops:
+        pct_chip = 100.0 * flops_per_sec / (chip_tflops * 1e12)
+        out["pct_of_chip"] = round(pct_chip, 2)
+        if pct_chip > 105.0:
+            out["honesty_flag"] = "model FLOPs exceed this chip's measured matmul rate"
+    return out
 
 
 def rnn_block_flops_per_frame(cfg) -> float:
