@@ -35,6 +35,14 @@ def main(argv=None) -> None:
                              "~4.5x throughput, approximate window "
                              "semantics — validate on real checkpoints "
                              "first (docs/parity.md)")
+    parser.add_argument("--no-pipeline", action="store_true",
+                        help="synchronous ticks (reply fetched inline). "
+                             "Default is the pipelined tick: reply "
+                             "transport overlaps the next tick's compute, "
+                             "which is what sustains 30 Hz on tunneled "
+                             "hosts (the inline fetch alone costs ~30 ms "
+                             "against the 33.3 ms budget); replies carry "
+                             "identical content one tick later")
     args = parser.parse_args(argv)
 
     # serving cold-start is compile-bound; repeat deploys on the same host
@@ -62,10 +70,12 @@ def main(argv=None) -> None:
                              f"over {mesh.devices.size} devices")
     server = PoseServer(net, params, host=args.host, port=args.port,
                         max_streams=args.max_streams, tick_hz=args.tick_hz,
-                        mode="carry" if args.carry else "exact", mesh=mesh)
+                        mode="carry" if args.carry else "exact", mesh=mesh,
+                        pipelined=not args.no_pipeline)
     print(f"Pose server on udp://{args.host}:{server.port} "
           f"({args.max_streams} streams @ {args.tick_hz} Hz, "
           f"{server.mode} mode"
+          + (", pipelined" if server.pipelined else ", synchronous")
           + (f", {mesh.devices.size}-device fleet" if mesh is not None
              else "") + "). Ctrl-C to stop.")
     try:

@@ -21,6 +21,7 @@ idle slots recycle after `idle_timeout` seconds.
 
 from __future__ import annotations
 
+import queue
 import socket
 import struct
 import threading
@@ -46,11 +47,25 @@ class PoseServer:
                  host: str = "0.0.0.0", port: int = 9000,
                  max_streams: int = 64, tick_hz: float = 30.0,
                  idle_timeout: float = 30.0, mode: str = "exact",
-                 mesh=None):
+                 mesh=None, pipelined: bool = False):
         """mode='exact' serves the reference window semantics
         (forward_online_batched); mode='carry' serves the opt-in
         approximation (models/streaming.py) at ~4.5x the throughput —
         validate accuracy on real checkpoints first (docs/parity.md).
+
+        pipelined=True overlaps reply transport with the next tick's
+        compute: tick() only drains requests and dispatches the device
+        step (jax dispatch is asynchronous), while a dedicated fetcher
+        thread performs the blocking device->host fetch and sends the UDP
+        replies. On tunneled hosts the fetch round trip (~30 ms) is the
+        whole tick budget (33.3 ms at 30 Hz) — the synchronous tick pays
+        it inline and misses 30 Hz (measured p50 35.5 ms); the pipelined
+        tick is a few ms and the server sustains the tick rate as long as
+        one fetch round trip fits in a tick period. Reply CONTENT is
+        identical to synchronous serving (same device program, same state
+        chaining — test-pinned); replies arrive roughly one tick later.
+        If the fetcher falls behind, the oldest undelivered tick is
+        dropped (real-time poses go stale, counted in stats()).
 
         mesh: optional 1-D `jax.sharding.Mesh` — the stream slots are
         sharded over its data axis and the parameters replicated, so one
@@ -161,6 +176,72 @@ class PoseServer:
         self._tick_ms = np.zeros(1024, np.float32)
         self._tick_n = 0
 
+        # reply pipeline (pipelined=True): tick() enqueues device arrays +
+        # a slot/addr snapshot; the fetcher thread device_gets and replies
+        self.pipelined = pipelined
+        self._fetch_q: queue.Queue = queue.Queue(maxsize=8)
+        self._fetch_ms = np.zeros(1024, np.float32)
+        self._fetch_n = 0
+        self.dropped_replies = 0
+        self._fetcher: Optional[threading.Thread] = None
+        if pipelined:
+            self._start_fetcher()
+
+    def _start_fetcher(self) -> None:
+        if self._fetcher is None or not self._fetcher.is_alive():
+            self._fetcher = threading.Thread(target=self._fetch_loop,
+                                             daemon=True)
+            self._fetcher.start()
+
+    def _fetch_loop(self) -> None:
+        """Fetcher thread: one batched device->host fetch per dispatched
+        tick, then the UDP replies. Exits only once stopped AND drained,
+        so trailing replies are flushed on shutdown."""
+        while not (self._stop.is_set() and self._fetch_q.empty()):
+            try:
+                outs, snapshot = self._fetch_q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            t0 = time.perf_counter()
+            host = jax.device_get(outs)
+            self._fetch_ms[self._fetch_n % self._fetch_ms.size] = (
+                (time.perf_counter() - t0) * 1e3)
+            self._fetch_n += 1
+            self._send_replies(host, snapshot)
+
+    def _enqueue_replies(self, outs, snapshot) -> None:
+        """Hand a tick's device outputs to the fetcher; if it has fallen
+        behind, drop the OLDEST queued tick (a stale real-time pose is
+        useless) and count it."""
+        while True:
+            try:
+                self._fetch_q.put_nowait((outs, snapshot))
+                return
+            except queue.Full:
+                try:
+                    self._fetch_q.get_nowait()
+                    self.dropped_replies += 1
+                except queue.Empty:
+                    pass
+
+    def _send_replies(self, host_outs, snapshot) -> int:
+        """Pack + send one tick's replies. snapshot is [(slot, stream_id,
+        addr)] captured at dispatch time (slot ownership may have changed
+        by fetch time in pipelined mode)."""
+        pose_aa, root_np, contact_np = (np.asarray(a) for a in host_outs)
+        sent = 0
+        for slot, stream_id, addr in snapshot:
+            payload = REPLY_STRUCT.pack(
+                stream_id, *pose_aa[slot].tolist(),
+                *root_np[slot].tolist(), *contact_np[slot].tolist())
+            try:
+                self.sock.sendto(payload, addr)
+                sent += 1
+            except OSError:
+                pass
+        self.frames_served += sent
+        return sent
+
     # -- slot management ----------------------------------------------------
     def _slot_for(self, stream_id: int) -> Optional[int]:
         slot = self.slot_of.get(stream_id)
@@ -226,7 +307,8 @@ class PoseServer:
 
         Slots without a new frame repeat their last frame (the model's
         sliding window absorbs it); replies only go to slots that sent one.
-        Returns the number of replies sent.
+        Returns the number of replies sent (synchronous) or dispatched
+        (pipelined — the fetcher thread sends them after its fetch).
         """
         t0 = time.perf_counter()
         self._drain_requests()
@@ -238,29 +320,24 @@ class PoseServer:
             frames = jax.device_put(frames, self._frame_sharding)
         (pose, joints, root, contact), self.states = self._step(
             self.params, self.states, jnp.asarray(frames))
+        # dispatch-time snapshot: slot ownership can change before the
+        # (possibly deferred) fetch completes
+        snapshot = [(int(s), self.id_of[int(s)], self.addr_of[int(s)])
+                    for s in active
+                    if self.addr_of.get(int(s)) is not None]
         # ONE batched fetch for all reply fields: three sequential
         # np.asarray calls cost two extra transport round trips per tick
         # (~60 ms against a 33 ms budget on tunneled devices)
-        pose_aa, root_np, contact_np = jax.device_get(
-            (self._aa(pose), root, contact))
-        pose_aa = np.asarray(pose_aa)
-        root_np = np.asarray(root_np)
-        contact_np = np.asarray(contact_np)
-        sent = 0
-        for slot in active:
-            addr = self.addr_of.get(int(slot))
-            if addr is None:
-                continue
-            payload = REPLY_STRUCT.pack(
-                self.id_of[int(slot)], *pose_aa[slot].tolist(),
-                *root_np[slot].tolist(), *contact_np[slot].tolist())
-            try:
-                self.sock.sendto(payload, addr)
-                sent += 1
-            except OSError:
-                pass
+        outs = (self._aa(pose), root, contact)
+        if self.pipelined:
+            # jax dispatch is async: `outs` are futures; the fetcher thread
+            # pays the transport round trip while this thread starts the
+            # next tick
+            self._enqueue_replies(outs, snapshot)
+            sent = len(snapshot)
+        else:
+            sent = self._send_replies(jax.device_get(outs), snapshot)
         self.has_frame[active] = False
-        self.frames_served += sent
         self._tick_ms[self._tick_n % self._tick_ms.size] = (
             (time.perf_counter() - t0) * 1e3)
         self._tick_n += 1
@@ -281,7 +358,7 @@ class PoseServer:
         now = time.time()
         active = sum(1 for slot in self.slot_of.values()
                      if now - self.last_seen[slot] <= self.idle_timeout)
-        return {
+        out = {
             "frames_served": self.frames_served,
             "active_streams": active,
             "ticks_measured": int(n),
@@ -290,8 +367,24 @@ class PoseServer:
             "tick_ms_p99": round(float(p99), 3),
             "tick_budget_ms": round(self.tick_period * 1e3, 3),
         }
+        if self.pipelined:
+            # fetch (reply-transport) latency runs on the fetcher thread;
+            # it bounds reply LAG, while tick_ms bounds the serving RATE
+            m = min(self._fetch_n, self._fetch_ms.size)
+            fl = self._fetch_ms[:m].copy() if m else np.zeros(1)
+            f50, f99 = np.percentile(fl, [50, 99])
+            out.update({
+                "pipelined": True,
+                "fetch_ms_p50": round(float(f50), 3),
+                "fetch_ms_p99": round(float(f99), 3),
+                "reply_queue_depth": self._fetch_q.qsize(),
+                "dropped_replies": self.dropped_replies,
+            })
+        return out
 
     def run(self, duration: Optional[float] = None) -> None:
+        if self.pipelined:
+            self._start_fetcher()
         t0 = time.time()
         while not self._stop.is_set():
             tick_start = time.perf_counter()
@@ -306,6 +399,9 @@ class PoseServer:
         self._stop.set()
 
     def close(self) -> None:
+        self._stop.set()
+        if self._fetcher is not None and self._fetcher.is_alive():
+            self._fetcher.join(timeout=5)       # flushes queued replies
         self.sock.close()
 
 

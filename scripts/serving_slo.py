@@ -1,0 +1,203 @@
+"""Measure the production serving tick SLO on the real chip.
+
+Drives a PoseServer over loopback UDP with S concurrent streams at the
+tick rate (default 256 @ 30 Hz — the deploy.md sizing configuration),
+from a single driver socket carrying S distinct stream ids. After a
+warmup round (first ticks pay jit compiles), it measures for --seconds
+and reports:
+
+  * sustained_tick_hz   — server ticks completed / elapsed (the rate the
+                          serving loop actually achieved; the r3 weak
+                          item: the synchronous tick paid the ~30 ms
+                          transport fetch inline and missed 30 Hz);
+  * tick_ms_p50/p99     — server-side tick latency vs the budget
+                          (pipelined: drain + dispatch only; the fetch
+                          runs on the fetcher thread and bounds reply
+                          LAG, reported separately);
+  * fetch_ms_p50/p99    — reply transport (pipelined mode);
+  * reply_rate          — client-side replies received / requests sent
+                          (proves replies actually flow at rate);
+  * dropped_replies     — ticks the fetcher had to discard (backlog).
+
+Usage:
+    python scripts/serving_slo.py [--streams 256] [--seconds 15]
+        [--hz 30] [--mode exact|carry] [--sync] [--out report.json]
+
+With --out, the result merges into the report under
+"serving_tick_<mode>_<pipelined|sync>".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import struct
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--streams", type=int, default=256)
+    parser.add_argument("--seconds", type=float, default=15.0)
+    parser.add_argument("--hz", type=float, default=30.0)
+    parser.add_argument("--mode", default="exact", choices=["exact", "carry"])
+    parser.add_argument("--sync", action="store_true",
+                        help="synchronous tick (the pre-r4 behavior) for A/B")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
+    import jax
+
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    from mobileposer_tpu.stream.server import REQUEST_STRUCT, REPLY_STRUCT, PoseServer
+
+    body = ParametricModel.from_file_or_synthetic(None)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    if args.bf16:
+        import jax.numpy as jnp
+
+        from mobileposer_tpu.nn import cast_params
+        params = cast_params(params, jnp.bfloat16)
+
+    srv = PoseServer(net, params, host="127.0.0.1", port=0,
+                     max_streams=args.streams, tick_hz=args.hz,
+                     mode=args.mode, pipelined=not args.sync)
+    server_thread = threading.Thread(target=srv.run, daemon=True)
+    server_thread.start()
+
+    S = args.streams
+    period = 1.0 / args.hz
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.setblocking(False)
+    # S requests per tick both ways: give the kernel room so the loopback
+    # buffers, not the benchmark, set the drop rate
+    for opt in (socket.SO_RCVBUF, socket.SO_SNDBUF):
+        try:
+            sock.setsockopt(socket.SOL_SOCKET, opt, 4 << 20)
+        except OSError:
+            pass
+    addr = ("127.0.0.1", srv.port)
+    rng = np.random.RandomState(0)
+    # pre-pack one round of requests per stream (Python pack time must not
+    # sit inside the timed loop more than it does in a real driver)
+    payloads = [REQUEST_STRUCT.pack(
+        i, *(rng.randn(60).astype(np.float32) * 0.1).tolist())
+        for i in range(S)]
+
+    def send_round():
+        sent = 0
+        for p in payloads:
+            try:
+                sock.sendto(p, addr)
+                sent += 1
+            except OSError:
+                pass
+        return sent
+
+    def drain_replies():
+        got = 0
+        while True:
+            try:
+                data, _ = sock.recvfrom(REPLY_STRUCT.size)
+                got += 1
+            except (BlockingIOError, OSError):
+                break
+        return got
+
+    # -- warmup: first ticks compile (seconds over the tunnel) -------------
+    send_round()
+    deadline = time.time() + 300
+    while drain_replies() == 0 and time.time() < deadline:
+        time.sleep(0.25)
+
+    # settle a few rounds at rate
+    for _ in range(10):
+        send_round()
+        time.sleep(period)
+        drain_replies()
+
+    # -- timed measurement -------------------------------------------------
+    tick0 = srv._tick_n
+    frames0 = srv.frames_served
+    sent = recv = 0
+    t0 = time.perf_counter()
+    next_t = t0
+    while True:
+        now = time.perf_counter()
+        if now - t0 >= args.seconds:
+            break
+        if now >= next_t:
+            sent += send_round()
+            next_t += period
+        recv += drain_replies()
+        sleep = next_t - time.perf_counter()
+        if sleep > 0:
+            time.sleep(min(sleep, 0.002))
+    # grace period for in-flight replies
+    t_end = time.perf_counter()
+    elapsed = t_end - t0
+    time.sleep(0.5)
+    recv += drain_replies()
+    ticks = srv._tick_n - tick0
+
+    stats = srv.stats()
+    srv.stop()
+    srv.close()
+    server_thread.join(timeout=5)
+    sock.close()
+
+    result = {
+        "streams": S,
+        "target_hz": args.hz,
+        "mode": args.mode,
+        "pipelined": not args.sync,
+        "bf16": args.bf16,
+        "seconds": round(elapsed, 2),
+        "sustained_tick_hz": round(ticks / elapsed, 2),
+        "requests_sent": sent,
+        "replies_received": recv,
+        "reply_rate": round(recv / max(sent, 1), 4),
+        "frames_served": srv.frames_served - frames0,
+        "tick_budget_ms": stats["tick_budget_ms"],
+        "tick_ms_p50": stats["tick_ms_p50"],
+        "tick_ms_p90": stats["tick_ms_p90"],
+        "tick_ms_p99": stats["tick_ms_p99"],
+    }
+    for k in ("fetch_ms_p50", "fetch_ms_p99", "dropped_replies",
+              "reply_queue_depth"):
+        if k in stats:
+            result[k] = stats[k]
+    print(json.dumps(result))
+
+    if args.out:
+        key = (f"serving_tick_{args.mode}_"
+               f"{'pipelined' if not args.sync else 'sync'}")
+        merged = {}
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    merged = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                merged = {}
+        merged[key] = result
+        with open(args.out, "w") as f:
+            json.dump(merged, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()

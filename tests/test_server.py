@@ -301,6 +301,68 @@ def test_sharded_server_matches_unsharded():
                                atol=1e-4)
 
 
+def test_pipelined_replies_match_synchronous():
+    """pipelined=True must change WHEN replies arrive, never WHAT they
+    contain: the device program and state chaining are identical, so a
+    lockstep client (send frame k, wait for its reply, send k+1) gets
+    bitwise-identical replies from both servers."""
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(11)
+    frames = [rng.randn(60).astype(np.float32) * 0.1 for _ in range(6)]
+    replies = {}
+    for name, pipelined in [("sync", False), ("pipelined", True)]:
+        srv = PoseServer(net, params, host="127.0.0.1", port=0,
+                         max_streams=4, tick_hz=240.0, pipelined=pipelined)
+        thread = threading.Thread(target=srv.run, daemon=True)
+        thread.start()
+        client = PoseClient(stream_id=9, port=srv.port)
+        try:
+            out = []
+            for f in frames:
+                client.send_frame(f)
+                r = None
+                deadline = time.time() + 60           # first tick compiles
+                while r is None and time.time() < deadline:
+                    r = client.recv_pose()
+                assert r is not None, f"{name}: no reply"
+                out.append(np.concatenate(r))
+            replies[name] = np.stack(out)
+            if pipelined:
+                stats = srv.stats()
+                assert stats["pipelined"] is True
+                assert stats["dropped_replies"] == 0
+                assert stats["fetch_ms_p50"] >= 0
+        finally:
+            client.close()
+            srv.stop()
+            thread.join(timeout=10)
+            srv.close()
+    np.testing.assert_array_equal(replies["pipelined"], replies["sync"])
+
+
+def test_pipelined_flushes_on_close():
+    """Replies dispatched but not yet fetched must still go out when the
+    server shuts down (close() joins the fetcher after it drains)."""
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    srv = PoseServer(net, params, host="127.0.0.1", port=0, max_streams=2,
+                     tick_hz=240.0, pipelined=True)
+    client = PoseClient(stream_id=5, port=srv.port, timeout=60.0)
+    try:
+        client.send_frame(np.zeros(60, np.float32))
+        # drain + dispatch happen on this thread; the reply is queued for
+        # the fetcher which may not have run yet when we stop
+        srv.tick()
+        srv.stop()
+        srv.close()
+        assert client.recv_pose() is not None
+    finally:
+        client.close()
+
+
 def test_sharded_server_rejects_uneven_slots():
     from mobileposer_tpu.parallel import make_mesh
     body = ParametricModel.synthetic(num_vertices=240)
