@@ -3,7 +3,7 @@
     python -m mobileposer_tpu.cli.export_serving --out bundle/
         [--model weights.npz] [--streams 256]
         [--mode carry|exact|offline] [--seq-len 512]
-        [--bf16] [--platforms tpu,cpu] [--smoke-test]
+        [--bf16] [--platforms tpu[,cpu]] [--smoke-test]
 
 The bundle (step.jaxexport + weights.npz + state.npz + meta.json) runs on
 a serving host without tracing or compiling the model code — see
@@ -31,8 +31,10 @@ def main(argv=None) -> None:
     parser.add_argument("--seq-len", type=int, default=512,
                         help="padded sequence length (offline mode)")
     parser.add_argument("--bf16", action="store_true")
-    parser.add_argument("--platforms", default="tpu,cpu",
-                        help="comma-separated lowering targets")
+    parser.add_argument("--platforms", default="tpu",
+                        help="comma-separated lowering targets (each extra "
+                             "platform ~doubles export time; add cpu only "
+                             "for local smoke tests of the same artifact)")
     parser.add_argument("--smoke-test", action="store_true",
                         help="reload the bundle and run one step")
     args = parser.parse_args(argv)

@@ -19,14 +19,20 @@ modules in-process (reference live_demo.py). Here:
     step, params, state, meta = load_bundle("bundle/")
     (pose, joints, root, contact), state = step(params, state, frames)
 
-Bundles are exported for both 'tpu' and 'cpu' by default, so the same
-artifact serves production chips and local smoke tests.
+Bundles are exported for the 'tpu' platform only by default: each extra
+lowering target roughly doubles export time (~3 min per platform for the
+256-stream exact step on the 1-core build host) and buys nothing on the
+serving chip. Pass platforms=("tpu", "cpu") (or --platforms tpu,cpu) when
+the same artifact must also run local CPU smoke tests.
 
 What AOT does and does not buy (measured r3, v5e-1): the artifact stores
 StableHLO, so the serving host never TRACES model code (no python model
 deps beyond the state pytree classes, stable across framework upgrades),
-but the backend still compiles the module at first call — first-step
-latency is comparable to a jit first-call with a warm persistent compile
+but the backend still compiles the module at first call — XLA cannot
+deserialize a compiled TPU executable from a portable artifact, only the
+persistent compile cache (keyed to an exact chip+version) skips that, and
+jax.export artifacts deliberately sit above it. First-step latency is
+therefore comparable to a jit first-call with a warm persistent compile
 cache (3.4 s vs 2.7 s measured). Deploy-time wins are hermeticity and
 version stability, not cold-start.
 """
@@ -93,7 +99,7 @@ def _fresh_state(net: MobilePoserNet, n_streams: int, mode: str, dtype):
 def export_offline_forward(net: MobilePoserNet, params: dict,
                            batch_size: int, seq_len: int,
                            dtype=jnp.float32,
-                           platforms: Tuple[str, ...] = ("tpu", "cpu")
+                           platforms: Tuple[str, ...] = ("tpu",)
                            ) -> "jx.Exported":
     """AOT-export the batched OFFLINE forward for batch-processing
     deployments (whole padded sequences in, pose/joints/tran/contact out;
@@ -113,7 +119,7 @@ def export_offline_forward(net: MobilePoserNet, params: dict,
 
 def export_streaming_step(net: MobilePoserNet, params: dict, n_streams: int,
                           mode: str = "carry", dtype=jnp.float32,
-                          platforms: Tuple[str, ...] = ("tpu", "cpu"),
+                          platforms: Tuple[str, ...] = ("tpu",),
                           state=None) -> "jx.Exported":
     """AOT-export one batched streaming step.
 
@@ -157,7 +163,7 @@ def _load_state_npz(path, mode: str):
 
 def save_bundle(directory, net: MobilePoserNet, params: dict,
                 n_streams: int, mode: str = "carry", dtype=jnp.float32,
-                platforms: Tuple[str, ...] = ("tpu", "cpu"),
+                platforms: Tuple[str, ...] = ("tpu",),
                 seq_len: int = 512) -> Path:
     """Write a self-contained serving bundle: StableHLO step + weights +
     fresh state + metadata.
