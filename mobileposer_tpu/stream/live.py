@@ -115,8 +115,19 @@ class LivePoser:
     def run(self, duration: Optional[float] = None, fps: int = C.datasets.fps,
             on_frame: Optional[Callable] = None,
             unity: Optional[UnityExporter] = None,
-            record: bool = False, debug: bool = False):
-        """Main loop (reference: live_demo.py:207-264)."""
+            record: bool = False, debug: bool = False,
+            pipelined: bool = True):
+        """Main loop (reference: live_demo.py:207-264).
+
+        pipelined=True (default) defers each frame's device->host fetch by
+        one tick, exactly like the serving tick (stream/server.py): frame
+        N's step is dispatched (async), then frame N-1's already-computed
+        results are fetched and delivered to the consumers — the transport
+        round trip (~30 ms on tunneled hosts, i.e. the whole 33 ms budget)
+        overlaps frame N's compute instead of serializing with it. Content
+        is identical one frame later; the final frame is flushed on exit.
+        pipelined=False restores the synchronous loop.
+        """
         assert self.calibration is not None, "calibrate first"
         from mobileposer_tpu.stream.calibration import calibrate_frames
         self.imu_set.start_reading()
@@ -126,6 +137,31 @@ class LivePoser:
         # expose the live buffers so callers can salvage a recording when an
         # interrupt escapes run() itself (e.g. lands in stop_reading)
         self.last_recording = recorded
+
+        def deliver(fetched, frame):
+            """Send one frame's results to every consumer. Raises
+            StopIteration when the viewer asks to close."""
+            quat1, acc1, pose, joints, tran, contact = frame
+            if unity is not None:
+                unity.send(np.asarray(fetched["aa"]),
+                           np.asarray(fetched["tran"]))
+            if on_frame is not None:
+                on_frame(pose, fetched["joints"], tran, contact)
+            if recorded is not None:
+                # reference dev-data schema (live_demo.py:266-275):
+                # 'acc'/'ori' are CALIBRATED global accel + rotation
+                # matrices in device slot order; raw wire values are
+                # kept under raw_*
+                glb_acc, glb_ori = calibrate_frames(
+                    self.calibration, quat1[None], acc1[None])
+                recorded["acc"].append(glb_acc[0])
+                recorded["ori"].append(glb_ori[0])
+                recorded["raw_acc"].append(acc1)
+                recorded["raw_ori"].append(quat1)
+                recorded["pose"].append(np.asarray(fetched["pose"]))
+                recorded["tran"].append(np.asarray(fetched["tran"]))
+
+        pending = None                       # (need futures, frame snapshot)
         t0 = time.time()
         try:
             while duration is None or time.time() - t0 < duration:
@@ -149,33 +185,31 @@ class LivePoser:
                         need["pose"] = pose
                     if on_frame is not None:
                         need["joints"] = joints
-                    fetched = jax.device_get(need) if need else {}
-                    if unity is not None:
-                        unity.send(np.asarray(fetched["aa"]),
-                                   np.asarray(fetched["tran"]))
-                    if on_frame is not None:
-                        try:
-                            on_frame(pose, fetched["joints"], tran, contact)
-                        except StopIteration:
-                            break          # viewer window closed: clean stop
-                    if recorded is not None:
-                        # reference dev-data schema (live_demo.py:266-275):
-                        # 'acc'/'ori' are CALIBRATED global accel + rotation
-                        # matrices in device slot order; raw wire values are
-                        # kept under raw_*
-                        glb_acc, glb_ori = calibrate_frames(
-                            self.calibration, quat[-1][None], acc[-1][None])
-                        recorded["acc"].append(glb_acc[0])
-                        recorded["ori"].append(glb_ori[0])
-                        recorded["raw_acc"].append(acc[-1])
-                        recorded["raw_ori"].append(quat[-1])
-                        recorded["pose"].append(np.asarray(fetched["pose"]))
-                        recorded["tran"].append(np.asarray(fetched["tran"]))
+                    frame = (quat[-1], acc[-1], pose, joints, tran, contact)
+                    try:
+                        if pipelined:
+                            # dispatch first, then pay the fetch RTT for the
+                            # PREVIOUS frame while this one computes
+                            prev, pending = pending, (need, frame)
+                            if prev is not None:
+                                deliver(jax.device_get(prev[0]), prev[1])
+                        else:
+                            deliver(jax.device_get(need) if need else {},
+                                    frame)
+                    except StopIteration:
+                        pending = None
+                        break          # viewer window closed: clean stop
                     if debug:
                         print(f"\rSensor FPS {self.imu_set.clock.get_fps():5.1f}"
                               f"  Output FPS {clock.get_fps():5.1f}", end="")
                 except KeyboardInterrupt:
                     break          # stop requested: keep everything recorded
+            # flush the deferred final frame so a recording keeps every frame
+            if pending is not None:
+                try:
+                    deliver(jax.device_get(pending[0]), pending[1])
+                except StopIteration:
+                    pass
         finally:
             self.imu_set.stop_reading()
         if recorded is not None:

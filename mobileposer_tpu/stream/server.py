@@ -182,6 +182,10 @@ class PoseServer:
         self._fetch_q: queue.Queue = queue.Queue(maxsize=8)
         self._fetch_ms = np.zeros(1024, np.float32)
         self._fetch_n = 0
+        # end-to-end reply lag: tick dispatch -> reply send (the latency a
+        # client actually experiences on top of its network path)
+        self._lag_ms = np.zeros(1024, np.float32)
+        self._lag_n = 0
         self.dropped_replies = 0
         self._fetcher: Optional[threading.Thread] = None
         if pipelined:
@@ -224,22 +228,46 @@ class PoseServer:
                 except queue.Empty:
                     pass
 
+    # wire-identical to REPLY_STRUCT ("<I72f3f2f", 312 bytes/row): all
+    # fields are 4-byte so the packed structured dtype has no padding
+    _REPLY_DTYPE = np.dtype([("id", "<u4"), ("pose", "<f4", (72,)),
+                             ("tran", "<f4", (3,)), ("contact", "<f4", (2,))])
+    assert _REPLY_DTYPE.itemsize == REPLY_STRUCT.size
+
     def _send_replies(self, host_outs, snapshot) -> int:
-        """Pack + send one tick's replies. snapshot is [(slot, stream_id,
-        addr)] captured at dispatch time (slot ownership may have changed
-        by fetch time in pipelined mode)."""
+        """Pack + send one tick's replies. snapshot is ([(slot, stream_id,
+        addr)], dispatch_time) captured at dispatch time (slot ownership
+        may have changed by fetch time in pipelined mode).
+
+        Packing is one vectorized structured-array assembly, not a
+        per-slot struct.pack of 77 python floats: at 256 streams the
+        python pack loop cost milliseconds of the 33 ms budget on a
+        1-core host (and also casts bf16 outputs to f32 wire floats for
+        free via numpy)."""
+        entries, t_dispatch = snapshot
+        if not entries:
+            return 0
         pose_aa, root_np, contact_np = (np.asarray(a) for a in host_outs)
+        slots = np.fromiter((e[0] for e in entries), np.int64, len(entries))
+        rec = np.empty(len(entries), dtype=self._REPLY_DTYPE)
+        rec["id"] = np.fromiter((e[1] for e in entries), np.uint32,
+                                len(entries))
+        rec["pose"] = pose_aa[slots]
+        rec["tran"] = root_np[slots]
+        rec["contact"] = contact_np[slots]
+        raw = rec.tobytes()
+        sz = REPLY_STRUCT.size
         sent = 0
-        for slot, stream_id, addr in snapshot:
-            payload = REPLY_STRUCT.pack(
-                stream_id, *pose_aa[slot].tolist(),
-                *root_np[slot].tolist(), *contact_np[slot].tolist())
+        for i, (_, _, addr) in enumerate(entries):
             try:
-                self.sock.sendto(payload, addr)
+                self.sock.sendto(raw[i * sz:(i + 1) * sz], addr)
                 sent += 1
             except OSError:
                 pass
         self.frames_served += sent
+        self._lag_ms[self._lag_n % self._lag_ms.size] = (
+            (time.perf_counter() - t_dispatch) * 1e3)
+        self._lag_n += 1
         return sent
 
     # -- slot management ----------------------------------------------------
@@ -322,9 +350,10 @@ class PoseServer:
             self.params, self.states, jnp.asarray(frames))
         # dispatch-time snapshot: slot ownership can change before the
         # (possibly deferred) fetch completes
-        snapshot = [(int(s), self.id_of[int(s)], self.addr_of[int(s)])
-                    for s in active
-                    if self.addr_of.get(int(s)) is not None]
+        snapshot = ([(int(s), self.id_of[int(s)], self.addr_of[int(s)])
+                     for s in active
+                     if self.addr_of.get(int(s)) is not None],
+                    time.perf_counter())
         # ONE batched fetch for all reply fields: three sequential
         # np.asarray calls cost two extra transport round trips per tick
         # (~60 ms against a 33 ms budget on tunneled devices)
@@ -334,7 +363,7 @@ class PoseServer:
             # pays the transport round trip while this thread starts the
             # next tick
             self._enqueue_replies(outs, snapshot)
-            sent = len(snapshot)
+            sent = len(snapshot[0])
         else:
             sent = self._send_replies(jax.device_get(outs), snapshot)
         self.has_frame[active] = False
@@ -373,10 +402,15 @@ class PoseServer:
             m = min(self._fetch_n, self._fetch_ms.size)
             fl = self._fetch_ms[:m].copy() if m else np.zeros(1)
             f50, f99 = np.percentile(fl, [50, 99])
+            k = min(self._lag_n, self._lag_ms.size)
+            ll = self._lag_ms[:k].copy() if k else np.zeros(1)
+            l50, l99 = np.percentile(ll, [50, 99])
             out.update({
                 "pipelined": True,
                 "fetch_ms_p50": round(float(f50), 3),
                 "fetch_ms_p99": round(float(f99), 3),
+                "reply_lag_ms_p50": round(float(l50), 3),
+                "reply_lag_ms_p99": round(float(l99), 3),
                 "reply_queue_depth": self._fetch_q.qsize(),
                 "dropped_replies": self.dropped_replies,
             })

@@ -177,8 +177,8 @@ def main(argv=None):
         "tick_ms_p90": stats["tick_ms_p90"],
         "tick_ms_p99": stats["tick_ms_p99"],
     }
-    for k in ("fetch_ms_p50", "fetch_ms_p99", "dropped_replies",
-              "reply_queue_depth"):
+    for k in ("fetch_ms_p50", "fetch_ms_p99", "reply_lag_ms_p50",
+              "reply_lag_ms_p99", "dropped_replies", "reply_queue_depth"):
         if k in stats:
             result[k] = stats[k]
     print(json.dumps(result))

@@ -334,6 +334,8 @@ def test_pipelined_replies_match_synchronous():
                 assert stats["pipelined"] is True
                 assert stats["dropped_replies"] == 0
                 assert stats["fetch_ms_p50"] >= 0
+                # end-to-end reply lag (dispatch -> send) is observable
+                assert stats["reply_lag_ms_p99"] >= stats["reply_lag_ms_p50"] >= 0
         finally:
             client.close()
             srv.stop()
