@@ -54,6 +54,20 @@ def curves():
     return out
 
 
+def test_chunked_synthesis_matches_single_shot():
+    """synthesize_stream_frames must be chunk-size invariant: the 8-frame
+    overlap feeds the accelerometer stencil continuous context, so chunked
+    output equals one whole-sequence synthesis everywhere (the reference's
+    zero-acc boundary frames appear only at the true stream edges)."""
+    body = ParametricModel.synthetic(num_vertices=48)
+    rng = np.random.default_rng(5)
+    aa, tran = make_stream_motion(rng, 300, 1)
+    small = synthesize_stream_frames(body, aa, tran, chunk=128)
+    big = synthesize_stream_frames(body, aa, tran, chunk=512)
+    np.testing.assert_allclose(np.asarray(small), np.asarray(big),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_carry_gap_does_not_grow_with_stream_age(curves):
     gap = (curves["carry"]["sip_deg"] - curves["exact"]["sip_deg"]
            ).mean(axis=1)                              # [n_windows]
