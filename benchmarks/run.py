@@ -522,16 +522,8 @@ def main(argv=None):
         # merge into an existing report: keys written by other tools (e.g.
         # carry_accuracy_ab from scripts/carry_ab.py) must survive a matrix
         # refresh
-        merged = {}
-        if os.path.exists(args.out):
-            try:
-                with open(args.out) as f:
-                    merged = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                merged = {}
-        merged.update(report)
-        with open(args.out, "w") as f:
-            json.dump(merged, f, indent=2)
+        from benchmarks.reporting import merge_report
+        merge_report(args.out, report)
     return report
 
 

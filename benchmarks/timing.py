@@ -81,11 +81,16 @@ def chip_fingerprint(iters: int | None = None, rtt: float | None = None,
     if rtt is None:
         rtt = rtt_seconds()
     if iters is None:
-        # pilot at 16 iters, then scale to the target device time
+        # pilot at 16 iters, then scale to the target device time. The
+        # count is quantized to a power of two: an exact pilot-derived
+        # integer varies run to run, and each distinct count is a distinct
+        # traced program the persistent compile cache could never reuse —
+        # one wasted remote compile (seconds over the tunnel) per run.
         pilot_iters = 16
         pilot_wall = timed_fetch(make_run(pilot_iters), x, reps=3)
         per_iter = max(pilot_wall - rtt, 1e-9) / pilot_iters
-        iters = int(np.clip(np.ceil(target_seconds / per_iter), 16, 4096))
+        raw = float(np.clip(np.ceil(target_seconds / per_iter), 16, 4096))
+        iters = 1 << int(np.ceil(np.log2(raw)))
     wall = timed_fetch(make_run(iters), x, reps=3)
     dt = max(wall - rtt, 1e-9) / iters
     tflops = 2 * 4096**3 / dt / 1e12

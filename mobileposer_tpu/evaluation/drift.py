@@ -107,21 +107,18 @@ def synthesize_stream_frames(body_model, aa: np.ndarray, tran: np.ndarray,
         o = ori * mask[None, :, None, None]
         return jnp.concatenate([a.reshape(-1, 15), o.reshape(-1, 45)], axis=1)
 
+    # Chunks are cut at their NATURAL lengths — no repeat-padding: padding
+    # the tail with a frozen last frame would give the final frames a full
+    # wide-stencil acceleration over fake motion instead of the
+    # reference's zero-acc stream-end boundary. jit caches by shape, so
+    # the whole run compiles at most 3 programs (first / interior / tail).
     frames = np.zeros((N, S, 60), np.float32)
     for s in range(S):
         for t0 in range(0, N, chunk):
             lo = max(t0 - pad, 0)
             hi = min(t0 + chunk + pad, N)
-            # fixed chunk shapes => one compile; short tail chunks pad by
-            # repeating the last frame (trimmed below)
-            aa_c = aa[lo:hi, s]
-            tran_c = tran[lo:hi, s]
-            want = chunk + 2 * pad
-            if aa_c.shape[0] < want:
-                reps = want - aa_c.shape[0]
-                aa_c = np.concatenate([aa_c, np.repeat(aa_c[-1:], reps, 0)])
-                tran_c = np.concatenate([tran_c, np.repeat(tran_c[-1:], reps, 0)])
-            f = np.asarray(synth_chunk(jnp.asarray(aa_c), jnp.asarray(tran_c)))
+            f = np.asarray(synth_chunk(jnp.asarray(aa[lo:hi, s]),
+                                       jnp.asarray(tran[lo:hi, s])))
             inner0 = t0 - lo
             frames[t0:min(t0 + chunk, N), s] = f[
                 inner0:inner0 + min(chunk, N - t0)]

@@ -187,6 +187,8 @@ class PoseServer:
         self._lag_ms = np.zeros(1024, np.float32)
         self._lag_n = 0
         self.dropped_replies = 0
+        self.fetch_errors = 0
+        self._last_fetch_error: Optional[str] = None
         self._fetcher: Optional[threading.Thread] = None
         if pipelined:
             self._start_fetcher()
@@ -200,18 +202,30 @@ class PoseServer:
     def _fetch_loop(self) -> None:
         """Fetcher thread: one batched device->host fetch per dispatched
         tick, then the UDP replies. Exits only once stopped AND drained,
-        so trailing replies are flushed on shutdown."""
+        so trailing replies are flushed on shutdown.
+
+        The loop must survive transient fetch failures: in synchronous
+        mode a device_get error crashes run() visibly, but here a single
+        unhandled exception would kill the thread and convert every
+        future reply into a silent drop while tick stats stay green. A
+        failed tick's replies are dropped and counted; the loop keeps
+        serving."""
         while not (self._stop.is_set() and self._fetch_q.empty()):
             try:
                 outs, snapshot = self._fetch_q.get(timeout=0.05)
             except queue.Empty:
                 continue
-            t0 = time.perf_counter()
-            host = jax.device_get(outs)
-            self._fetch_ms[self._fetch_n % self._fetch_ms.size] = (
-                (time.perf_counter() - t0) * 1e3)
-            self._fetch_n += 1
-            self._send_replies(host, snapshot)
+            try:
+                t0 = time.perf_counter()
+                host = jax.device_get(outs)
+                self._fetch_ms[self._fetch_n % self._fetch_ms.size] = (
+                    (time.perf_counter() - t0) * 1e3)
+                self._fetch_n += 1
+                self._send_replies(host, snapshot)
+            except Exception as e:           # noqa: BLE001 — must not die
+                self.dropped_replies += 1
+                self.fetch_errors += 1
+                self._last_fetch_error = repr(e)
 
     def _enqueue_replies(self, outs, snapshot) -> None:
         """Hand a tick's device outputs to the fetcher; if it has fallen
@@ -413,6 +427,9 @@ class PoseServer:
                 "reply_lag_ms_p99": round(float(l99), 3),
                 "reply_queue_depth": self._fetch_q.qsize(),
                 "dropped_replies": self.dropped_replies,
+                "fetch_errors": self.fetch_errors,
+                **({"last_fetch_error": self._last_fetch_error}
+                   if self._last_fetch_error else {}),
             })
         return out
 

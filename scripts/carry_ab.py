@@ -138,13 +138,8 @@ def main(argv=None):
     print(json.dumps(report), flush=True)
 
     if args.report:
-        data = {}
-        if os.path.exists(args.report):
-            with open(args.report) as f:
-                data = json.load(f)
-        data["carry_accuracy_ab"] = report
-        with open(args.report, "w") as f:
-            json.dump(data, f, indent=1)
+        from benchmarks.reporting import merge_report
+        merge_report(args.report, report, key="carry_accuracy_ab")
         print(f"report updated: {args.report}", flush=True)
 
 

@@ -117,13 +117,8 @@ def main(argv=None):
     print(json.dumps(result["gap_summary"]), flush=True)
 
     if args.report:
-        data = {}
-        if os.path.exists(args.report):
-            with open(args.report) as f:
-                data = json.load(f)
-        data["carry_drift_horizon"] = result
-        with open(args.report, "w") as f:
-            json.dump(data, f, indent=1)
+        from benchmarks.reporting import merge_report
+        merge_report(args.report, result, key="carry_drift_horizon")
         print(f"report updated: {args.report}", flush=True)
     return result
 

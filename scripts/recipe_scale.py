@@ -197,13 +197,8 @@ def main(argv=None):
           flush=True)
 
     if args.report:
-        data = {}
-        if os.path.exists(args.report):
-            with open(args.report) as f:
-                data = json.load(f)
-        data["recipe_scale"] = result
-        with open(args.report, "w") as f:
-            json.dump(data, f, indent=1)
+        from benchmarks.reporting import merge_report
+        merge_report(args.report, result, key="recipe_scale")
         print(f"report updated: {args.report}", flush=True)
     return result
 

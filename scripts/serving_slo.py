@@ -147,12 +147,17 @@ def main(argv=None):
         sleep = next_t - time.perf_counter()
         if sleep > 0:
             time.sleep(min(sleep, 0.002))
-    # grace period for in-flight replies
+    # snapshot the tick counter AT the window edge, before the grace
+    # sleep: ticks the server executes while draining backlog during the
+    # grace period would otherwise inflate sustained_tick_hz (the number
+    # the pipelined-vs-sync A/B rests on)
     t_end = time.perf_counter()
     elapsed = t_end - t0
+    ticks = srv._tick_n - tick0
+    # grace period for in-flight replies (they answer requests sent
+    # inside the window, so they do count toward reply_rate)
     time.sleep(0.5)
     recv += drain_replies()
-    ticks = srv._tick_n - tick0
 
     stats = srv.stats()
     srv.stop()
@@ -184,18 +189,10 @@ def main(argv=None):
     print(json.dumps(result))
 
     if args.out:
+        from benchmarks.reporting import merge_report
         key = (f"serving_tick_{args.mode}_"
                f"{'pipelined' if not args.sync else 'sync'}")
-        merged = {}
-        if os.path.exists(args.out):
-            try:
-                with open(args.out) as f:
-                    merged = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                merged = {}
-        merged[key] = result
-        with open(args.out, "w") as f:
-            json.dump(merged, f, indent=2)
+        merge_report(args.out, result, key=key)
     return result
 
 
