@@ -344,6 +344,53 @@ def test_pipelined_replies_match_synchronous():
     np.testing.assert_array_equal(replies["pipelined"], replies["sync"])
 
 
+def test_pipelined_fetcher_survives_fetch_errors(monkeypatch):
+    """A transient device_get failure (e.g. a tunnel hiccup) must not kill
+    the fetcher thread: the failed tick's replies are dropped and counted,
+    and the NEXT tick's replies still go out."""
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    srv = PoseServer(net, params, host="127.0.0.1", port=0, max_streams=2,
+                     tick_hz=240.0, pipelined=True)
+    client = PoseClient(stream_id=4, port=srv.port, timeout=30.0)
+    try:
+        # first tick: fetch blows up inside the fetcher thread
+        import mobileposer_tpu.stream.server as server_mod
+        real_get = server_mod.jax.device_get
+        calls = {"n": 0}
+
+        def flaky_get(x):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("simulated transport failure")
+            return real_get(x)
+
+        monkeypatch.setattr(server_mod.jax, "device_get", flaky_get)
+        client.send_frame(np.zeros(60, np.float32))
+        srv.tick()
+        deadline = time.time() + 30
+        while srv.fetch_errors == 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv.fetch_errors == 1
+        assert srv._fetcher.is_alive()
+        # second tick: delivery works again
+        client.sock.settimeout(0.5)
+        assert client.recv_pose() is None          # first reply was dropped
+        client.sock.settimeout(30.0)
+        client.send_frame(np.zeros(60, np.float32))
+        srv.tick()
+        assert client.recv_pose() is not None
+        stats = srv.stats()
+        assert stats["fetch_errors"] == 1
+        assert "simulated transport failure" in stats["last_fetch_error"]
+        assert stats["dropped_replies"] >= 1
+    finally:
+        client.close()
+        srv.stop()
+        srv.close()
+
+
 def test_pipelined_flushes_on_close():
     """Replies dispatched but not yet fetched must still go out when the
     server shuts down (close() joins the fetcher after it drains)."""
