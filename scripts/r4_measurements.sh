@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-4 measurement sequence on the real chip, in dependency order.
+# Run from the repo root with the default (TPU) backend:
+#     bash scripts/r4_measurements.sh [report.json]
+# Each step merges its results into the report (benchmarks/reporting.py);
+# steps are independent, so a failure skips to the next.
+set -u
+cd "$(dirname "$0")/.."
+REPORT="${1:-benchmarks/report_v5e1.json}"
+LOG=/tmp/r4_measurements.log
+echo "=== r4 measurements -> $REPORT ($(date))" | tee -a "$LOG"
+
+run() {
+    echo "--- $* ($(date +%H:%M:%S))" | tee -a "$LOG"
+    timeout 3000 "$@" 2>&1 | tail -20 | tee -a "$LOG"
+    local rc=${PIPESTATUS[0]}
+    echo "--- rc=$rc ($(date +%H:%M:%S))" | tee -a "$LOG"
+}
+
+# 1. Serving SLO: the headline r4 item (pipelined vs sync at 256 streams)
+run python scripts/serving_slo.py --streams 256 --seconds 20 --out "$REPORT"
+run python scripts/serving_slo.py --streams 256 --seconds 20 --sync --out "$REPORT"
+run python scripts/serving_slo.py --streams 256 --seconds 20 --mode carry --out "$REPORT"
+
+# 2. Carry drift at the 10^5-frame horizon (trained fixture)
+run python scripts/carry_drift.py --frames 102400 --streams 8 --report "$REPORT"
+
+# 3. Reference-scale recipe (60 epochs + resume + finetune chain)
+MP_ROOT=/tmp/recipe_scale run python scripts/recipe_scale.py --report "$REPORT"
+
+# 4. Benchmark matrix refresh (new pct_of_chip fields on every row)
+run python benchmarks/run.py --out "$REPORT"
+
+# 5. Headline bench smoke (the driver runs this again at round end)
+run python bench.py
+
+echo "=== done ($(date))" | tee -a "$LOG"
