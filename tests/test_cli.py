@@ -248,3 +248,44 @@ def test_cli_combine_export_torch(workspace):
     sd = torch.load(pt, map_location="cpu", weights_only=False)
     back = convert_mobileposer_checkpoint(sd, MODULE_CONFIGS)
     assert set(back) == set(MODULE_CONFIGS)
+
+
+def test_cli_serve_pipelined_flag_wiring(workspace, body, monkeypatch):
+    """cli.serve defaults to the pipelined tick; --no-pipeline restores the
+    synchronous server. The server itself is stubbed — this pins the
+    argparse wiring, not the serving loop (tests/test_server.py does that)."""
+    import jax
+
+    from mobileposer_tpu.cli import serve as serve_cli
+    from mobileposer_tpu.models import init_all_modules
+    from mobileposer_tpu.nn.torch_convert import export_to_npz
+
+    w = workspace / "serve_weights.npz"
+    export_to_npz(init_all_modules(jax.random.PRNGKey(0)), w)
+
+    captured = {}
+
+    class StubServer:
+        def __init__(self, net, params, **kw):
+            captured.update(kw)
+            self.port = 0
+            self.mode = kw.get("mode", "exact")
+            self.pipelined = kw.get("pipelined")
+
+        def run(self, duration=None):
+            pass
+
+        def stop(self):
+            pass
+
+        def close(self):
+            pass
+
+        def stats(self):
+            return {}
+
+    monkeypatch.setattr(serve_cli, "PoseServer", StubServer)
+    serve_cli.main(["--model", str(w), "--duration", "0"])
+    assert captured["pipelined"] is True
+    serve_cli.main(["--model", str(w), "--duration", "0", "--no-pipeline"])
+    assert captured["pipelined"] is False
