@@ -54,6 +54,40 @@ def curves():
     return out
 
 
+def test_window_chained_streaming_matches_single_pass():
+    """The drift stepper's core invariant: streaming a sequence in window
+    calls with the state carried across calls must equal one whole-sequence
+    call, for BOTH modes (a chaining bug would masquerade as age drift)."""
+    import jax.numpy as jnp
+
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+
+    body = ParametricModel.synthetic(num_vertices=48)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.normal(0, 0.1, (64, 2, 60)).astype(np.float32))
+    for mode, init, fwd in (
+            ("exact", net.init_online_state_batched,
+             net.forward_online_sequence_batched),
+            ("carry", net.init_carry_state_batched,
+             net.forward_carry_sequence_batched)):
+        (pose_full, _, root_full, _), _ = jax.jit(fwd)(
+            params, jax.device_put(init(2)), frames)
+        st = jax.device_put(init(2))
+        poses, roots = [], []
+        for w in range(0, 64, 16):
+            (p, _, r, _), st = jax.jit(fwd)(params, st, frames[w:w + 16])
+            poses.append(np.asarray(p))
+            roots.append(np.asarray(r))
+        np.testing.assert_allclose(np.concatenate(poses),
+                                   np.asarray(pose_full), atol=2e-5,
+                                   err_msg=mode)
+        np.testing.assert_allclose(np.concatenate(roots),
+                                   np.asarray(root_full), atol=2e-5,
+                                   err_msg=mode)
+
+
 def test_chunked_synthesis_matches_single_shot():
     """synthesize_stream_frames must be chunk-size invariant: the 8-frame
     overlap feeds the accelerometer stencil continuous context, so chunked
