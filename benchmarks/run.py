@@ -453,6 +453,51 @@ def bench_carry_max_throughput(net, params, rtt):
             **_flops_fields(fps, carry_flops_per_emitted_frame())}
 
 
+def bench_carry_int8(net, params, rtt):
+    """Carry mode with W8A8 LSTM matmuls (ops/quant.py) at the
+    max-throughput configuration (S=1024, bf16 state/linears/frames) —
+    the int8 A/B against carry_max_throughput. The MXU runs int8 at 2x
+    the bf16 rate (v5e: 394 int8 TOPS), so MFU fields are emitted
+    against the DOUBLED nominal peak and the doubled chip fingerprint
+    (the fingerprint measures the bf16 matmul rate; int8 capability is
+    2x it on every TPU generation with an int8 MXU path)."""
+    from benchmarks.flops import carry_flops_per_emitted_frame, nominal_peak_for
+    from mobileposer_tpu.ops.quant import quantize_params_int8
+    S, N = 1024, 100
+    # host-side: bf16-cast the float leaves (linears; numpy via ml_dtypes —
+    # no device round trip in setup), then quantize the LSTM kernels from
+    # the original precision so dequant scales stay f32
+    params_bf = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).astype(jnp.bfloat16), params)
+    params_q = quantize_params_int8(params_bf)
+    state = jax.tree_util.tree_map(
+        jnp.asarray, net.init_carry_state_batched(S, dtype=jnp.bfloat16))
+
+    @jax.jit
+    def run(params, state, frames):
+        (pose, joints, root, contact), _ = net.forward_carry_sequence_batched(
+            params, state, frames)
+        return (pose.astype(jnp.float32).sum()
+                + joints.astype(jnp.float32).sum()
+                + root.astype(jnp.float32).sum()
+                + contact.astype(jnp.float32).sum())
+
+    frames = jnp.asarray(
+        np.random.RandomState(8).randn(N, S, 60).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    wall, spread = _timed(run, params_q, state, frames, reps=3)
+    fps = S * N / max(wall - rtt, 1e-9)
+    fields = mfu_fields(
+        fps * carry_flops_per_emitted_frame(),
+        chip_tflops=2.0 * _CHIP_TFLOPS if _CHIP_TFLOPS else None,
+        peak=2.0 * nominal_peak_for())
+    return {"metric": "carry_int8_frames_per_sec", **spread,
+            "value": round(fps, 1), "unit": "frames/s", "streams": S,
+            "exact_semantics": False, "quant": "W8A8 dynamic, LSTM matmuls",
+            "peak_basis": "2x bf16 nominal/fingerprint (int8 MXU rate)",
+            **fields}
+
+
 def bench_stream_latency(net, params, rtt):
     """Single-stream per-frame device latency (the real-time metric: one
     frame must fit in the 33 ms budget of a 30 Hz stream). mode='auto'
@@ -488,6 +533,7 @@ CONFIGS = {
     "stream_latency": bench_stream_latency,
     "carry_streaming": bench_carry_streaming,
     "carry_max_throughput": bench_carry_max_throughput,
+    "carry_int8": bench_carry_int8,
     "eval_batched": bench_eval_batched,
     "datagen": bench_datagen,
 }

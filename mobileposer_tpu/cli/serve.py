@@ -35,6 +35,11 @@ def main(argv=None) -> None:
                              "~4.5x throughput, approximate window "
                              "semantics — validate on real checkpoints "
                              "first (docs/parity.md)")
+    parser.add_argument("--int8", action="store_true",
+                        help="W8A8-quantize the LSTM matmuls onto the "
+                             "MXU's double-rate int8 path (carry mode "
+                             "only; ops/quant.py — opt-in, accuracy-"
+                             "labelled like carry mode itself)")
     parser.add_argument("--no-pipeline", action="store_true",
                         help="synchronous ticks (reply fetched inline). "
                              "Default is the pipelined tick: reply "
@@ -44,6 +49,9 @@ def main(argv=None) -> None:
                              "against the 33.3 ms budget); replies carry "
                              "identical content one tick later")
     args = parser.parse_args(argv)
+    if args.int8 and not args.carry:
+        parser.error("--int8 requires --carry (the exact windowed path "
+                     "runs float Pallas kernels)")
 
     # serving cold-start is compile-bound; repeat deploys on the same host
     # hit the persistent cache (measured 3.4 s cold vs 2.7 s warm —
@@ -71,10 +79,12 @@ def main(argv=None) -> None:
     server = PoseServer(net, params, host=args.host, port=args.port,
                         max_streams=args.max_streams, tick_hz=args.tick_hz,
                         mode="carry" if args.carry else "exact", mesh=mesh,
-                        pipelined=not args.no_pipeline)
+                        pipelined=not args.no_pipeline,
+                        quantize="int8" if args.int8 else None)
     print(f"Pose server on udp://{args.host}:{server.port} "
           f"({args.max_streams} streams @ {args.tick_hz} Hz, "
           f"{server.mode} mode"
+          + (", int8" if args.int8 else "")
           + (", pipelined" if server.pipelined else ", synchronous")
           + (f", {mesh.devices.size}-device fleet" if mesh is not None
              else "") + "). Ctrl-C to stop.")

@@ -234,13 +234,19 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
                   num_future_frames: int = C.model_config.future_frames,
                   verbose: bool = True, batch_sequences: bool = True,
                   max_batch: int = 64, online_mode: str = "exact",
-                  bf16: bool = False, mesh=None):
+                  bf16: bool = False, mesh=None, offline: bool = True):
     """Offline (and optionally online) evaluation over a sequence dataset
     (reference: evaluate.py:39-107).
 
     dataset yields (imu [T,60], pose_local [T,24,3,3], joints, tran [T,3]).
     Returns dict with 'offline' [8,2], optional 'online' [8,2] and
     'tran_errors' {window: mean}.
+
+    offline=False skips the offline pass and its metrics entirely
+    (requires online=True and evaluate_tran=False — translation drift is
+    an offline metric). This is how int8-quantized params are evaluated:
+    they only run through carry mode (ops/quant.py), so the offline
+    windowed forward must not be traced on them.
 
     batch_sequences=True (default) groups sequences by padded length and
     runs both protocols batched — N sequences per group cost ~one dispatch.
@@ -251,6 +257,9 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
         raise ValueError("bf16=True requires batch_sequences=True")
     if mesh is not None and not batch_sequences:
         raise ValueError("mesh sharding requires batch_sequences=True")
+    if not offline and (not online or evaluate_tran or not batch_sequences):
+        raise ValueError("offline=False requires online=True, "
+                         "evaluate_tran=False and batch_sequences=True")
     if online_mode not in ("exact", "carry"):
         # validate up front: an unknown mode must not silently fall back to
         # the exact path (a parity A/B would then compare exact vs exact
@@ -290,9 +299,10 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
             # low-order bits, so the agreement is numeric, not bitwise)
             from mobileposer_tpu.parallel import replicate_params
             params = replicate_params(params, mesh)
-        offline_preds = _predict_offline_batched(net, params, imus, _BUCKET,
-                                                 max_batch, dtype=dtype,
-                                                 mesh=mesh)
+        offline_preds = (_predict_offline_batched(net, params, imus, _BUCKET,
+                                                  max_batch, dtype=dtype,
+                                                  mesh=mesh)
+                         if offline else [None] * len(items))
         online_preds = (_predict_online_batched(net, params, imus,
                                                 num_future_frames, _BUCKET,
                                                 max_batch, mode=online_mode,
@@ -334,12 +344,15 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
 
     for item, off_p, on_p in zip(items, offline_preds, online_preds):
         pose_t, tran_t = item[1], item[3]
-        pose_p, tran_p = off_p
 
         if online:
             pose_po, tran_po = on_p
             online_errs.append(evaluator.eval(pose_po, pose_t,
                                               tran_p=tran_po, tran_t=tran_t))
+
+        if off_p is None:
+            continue
+        pose_p, tran_p = off_p
 
         if evaluate_tran:
             for w, err in translation_drift(tran_p, tran_t).items():
@@ -348,10 +361,12 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
         offline_errs.append(evaluator.eval(pose_p, pose_t,
                                            tran_p=tran_p, tran_t=tran_t))
 
-    result = {"offline": np.mean(np.stack(offline_errs), axis=0)}
-    if verbose:
-        print("============== offline ================")
-        PoseEvaluator.print(result["offline"])
+    result = {}
+    if offline_errs:
+        result["offline"] = np.mean(np.stack(offline_errs), axis=0)
+        if verbose:
+            print("============== offline ================")
+            PoseEvaluator.print(result["offline"])
     if online_errs:
         result["online"] = np.mean(np.stack(online_errs), axis=0)
         if verbose:

@@ -109,7 +109,13 @@ def _gate_update(gates: jnp.ndarray, c: jnp.ndarray):
 def lstm_cell_step(p: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
     """One LSTM step from a raw input: projects x, adds both biases, and
     applies the shared gate update. p is one direction of one layer
-    (init_lstm_layer layout)."""
+    (init_lstm_layer layout), or an int8-quantized direction
+    (ops.quant.quantize_lstm_direction layout) — the dtype of the kernel
+    picks the implementation at trace time, so the whole carry-mode stack
+    (models/streaming.py) runs unchanged on quantized params."""
+    if jnp.dtype(p["w_ih"].dtype) == jnp.int8:
+        from mobileposer_tpu.ops.quant import lstm_cell_step_int8
+        return lstm_cell_step_int8(p, x, h, c)
     gates = x @ p["w_ih"] + (p["b_ih"] + p["b_hh"]) + h @ p["w_hh"]
     return _gate_update(gates, c)
 

@@ -47,11 +47,19 @@ class PoseServer:
                  host: str = "0.0.0.0", port: int = 9000,
                  max_streams: int = 64, tick_hz: float = 30.0,
                  idle_timeout: float = 30.0, mode: str = "exact",
-                 mesh=None, pipelined: bool = False):
+                 mesh=None, pipelined: bool = False,
+                 quantize: Optional[str] = None):
         """mode='exact' serves the reference window semantics
         (forward_online_batched); mode='carry' serves the opt-in
         approximation (models/streaming.py) at ~4.5x the throughput —
         validate accuracy on real checkpoints first (docs/parity.md).
+
+        quantize='int8' (carry mode only) runs the LSTM matmuls as
+        dynamic-activation W8A8 on the MXU's double-rate int8 path
+        (ops/quant.py). Like carry mode itself it is opt-in and ships
+        with a measured accuracy label (tests/test_quant.py bounds it on
+        the trained fixture). Applied AFTER any bf16 cast of the params
+        (the caller controls that), so dequant scales stay f32.
 
         pipelined=True overlaps reply transport with the next tick's
         compute: tick() only drains requests and dispatches the device
@@ -75,6 +83,17 @@ class PoseServer:
         test-pinned — per-shard tiling can move low-order bits)."""
         self.net = net
         self.mesh = mesh
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize {quantize!r}")
+        if quantize == "int8":
+            if mode != "carry":
+                raise ValueError(
+                    "quantize='int8' requires mode='carry': the windowed "
+                    "exact path precomputes float input projections and "
+                    "runs float Pallas kernels (ops/quant.py)")
+            from mobileposer_tpu.ops.quant import quantize_params_int8
+            params = quantize_params_int8(params)
+        self.quantize = quantize
         if mesh is not None and max_streams % mesh.devices.size:
             raise ValueError(
                 f"max_streams={max_streams} must divide evenly over the "
@@ -96,8 +115,12 @@ class PoseServer:
         # keep the fusion accumulators f32 regardless (bf16 translation
         # accumulators quantize then freeze past ~16 m — see
         # init_online_state_batched).
-        leaf = jax.tree_util.tree_leaves(params)[0]
-        self.dtype = jnp.dtype(getattr(leaf, "dtype", jnp.float32))
+        # first FLOAT leaf: quantized params interleave int8 kernels with
+        # float linears/scales, and the streaming state must be float
+        self.dtype = next(
+            (jnp.dtype(leaf.dtype) for leaf in jax.tree_util.tree_leaves(params)
+             if jnp.issubdtype(jnp.dtype(getattr(leaf, "dtype", np.float32)),
+                               jnp.floating)), jnp.dtype(jnp.float32))
 
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)

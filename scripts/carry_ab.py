@@ -64,9 +64,12 @@ def train_demo_checkpoint(epochs: int, batch_size: int = 64):
     return combine_weights(ckpt), body, fixture
 
 
-def run_ab(params, body, fixture, rows=(0, 3, 6)):
+def run_ab(params, body, fixture, rows=(0, 3, 6), int8=False):
     """ONLINE protocol exact vs carry on the held-out synthetic view.
-    Returns dict with both 8-row tables and the per-row deltas."""
+    Returns dict with both 8-row tables and the per-row deltas. With
+    int8=True, a third leg runs carry mode on W8A8-quantized params
+    (ops/quant.py) so the int8 serving config gets the same measured
+    accuracy label carry mode itself carries."""
     from mobileposer_tpu.data import EvalSequence, PoseDataset
     from mobileposer_tpu.evaluation import evaluate_pose
     from mobileposer_tpu.evaluation.pose_eval import METRIC_NAMES
@@ -76,11 +79,17 @@ def run_ab(params, body, fixture, rows=(0, 3, 6)):
                        data_files=[fixture])
     view = EvalSequence(test, combo="lw_rp")
     net = MobilePoserNet(body)
+    legs = {"exact": ("exact", params), "carry": ("carry", params)}
+    if int8:
+        from mobileposer_tpu.ops.quant import quantize_params_int8
+        legs["carry_int8"] = ("carry", quantize_params_int8(params))
     out = {}
-    for mode in ("exact", "carry"):
-        res = evaluate_pose(net, params, view, online=True, verbose=False,
-                            online_mode=mode)
-        out[mode] = np.asarray(res["online"])
+    for leg, (mode, p) in legs.items():
+        # quantized params only trace through carry mode: skip the
+        # offline windowed pass for that leg (evaluate_pose(offline=False))
+        res = evaluate_pose(net, p, view, online=True, verbose=False,
+                            online_mode=mode, offline=(leg != "carry_int8"))
+        out[leg] = np.asarray(res["online"])
     delta = out["carry"] - out["exact"]
     report = {
         "protocol": "batched ONLINE (evaluate.py:62-64), synthetic held-out "
@@ -94,6 +103,14 @@ def run_ab(params, body, fixture, rows=(0, 3, 6)):
             "carry": float(out["carry"][i, 0]),
             "delta": float(delta[i, 0])} for i in rows},
     }
+    if int8:
+        d8 = out["carry_int8"] - out["carry"]
+        report["carry_int8_mean"] = out["carry_int8"][:, 0].round(4).tolist()
+        report["int8_delta_vs_carry_mean"] = d8[:, 0].round(4).tolist()
+        report["headline_int8"] = {METRIC_NAMES[i]: {
+            "carry": float(out["carry"][i, 0]),
+            "carry_int8": float(out["carry_int8"][i, 0]),
+            "delta_vs_carry": float(d8[i, 0])} for i in rows}
     return report
 
 
@@ -119,13 +136,21 @@ def main(argv=None):
     parser.add_argument("--report", type=str, default=None,
                         help="merge results into this json under "
                              "'carry_accuracy_ab'")
+    parser.add_argument("--int8", action="store_true",
+                        help="also measure carry mode on W8A8-quantized "
+                             "params (third A/B leg)")
     args = parser.parse_args(argv)
 
     from mobileposer_tpu.train.trainer import load_combined_weights
 
     if args.checkpoint:
+        import jax
         body, fixture = ensure_fixture()
         params = load_combined_weights(args.checkpoint)
+        # the committed fixture is stored f16 (footprint); compute in f32
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32)
+            if np.asarray(x).dtype == np.float16 else x, params)
         combined = args.checkpoint
     else:
         combined, body, fixture = train_demo_checkpoint(args.epochs)
@@ -134,7 +159,7 @@ def main(argv=None):
     if args.save_fixture:
         save_fixture(params, args.save_fixture)
 
-    report = run_ab(params, body, fixture)
+    report = run_ab(params, body, fixture, int8=args.int8)
     print(json.dumps(report), flush=True)
 
     if args.report:

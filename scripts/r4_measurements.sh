@@ -22,11 +22,19 @@ run python scripts/serving_slo.py --streams 256 --seconds 20 --out "$REPORT"
 run python scripts/serving_slo.py --streams 256 --seconds 20 --sync --out "$REPORT"
 run python scripts/serving_slo.py --streams 256 --seconds 20 --mode carry --out "$REPORT"
 
+# 1b. int8 serving leg (W8A8 carry mode; ops/quant.py)
+run python scripts/serving_slo.py --streams 256 --seconds 20 --mode carry \
+    --int8 --out "$REPORT"
+
 # 2. Carry drift at the 10^5-frame horizon (trained fixture)
 run python scripts/carry_drift.py --frames 102400 --streams 8 --report "$REPORT"
 
 # 3. Reference-scale recipe (60 epochs + resume + finetune chain)
 MP_ROOT=/tmp/recipe_scale run python scripts/recipe_scale.py --report "$REPORT"
+
+# 3b. int8 accuracy label on the trained fixture (third A/B leg)
+run python scripts/carry_ab.py --checkpoint tests/fixtures/demo_checkpoint_f16.npz \
+    --int8 --report "$REPORT"
 
 # 4. Benchmark matrix refresh (new pct_of_chip fields on every row)
 run python benchmarks/run.py --out "$REPORT"

@@ -52,8 +52,13 @@ def main(argv=None):
     parser.add_argument("--sync", action="store_true",
                         help="synchronous tick (the pre-r4 behavior) for A/B")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="W8A8 LSTM matmuls (carry mode only; "
+                             "ops/quant.py)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
+    if args.int8 and args.mode != "carry":
+        parser.error("--int8 requires --mode carry")
 
     from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
     enable_persistent_compile_cache()
@@ -75,7 +80,8 @@ def main(argv=None):
 
     srv = PoseServer(net, params, host="127.0.0.1", port=0,
                      max_streams=args.streams, tick_hz=args.hz,
-                     mode=args.mode, pipelined=not args.sync)
+                     mode=args.mode, pipelined=not args.sync,
+                     quantize="int8" if args.int8 else None)
     server_thread = threading.Thread(target=srv.run, daemon=True)
     server_thread.start()
 
@@ -171,6 +177,7 @@ def main(argv=None):
         "mode": args.mode,
         "pipelined": not args.sync,
         "bf16": args.bf16,
+        "int8": args.int8,
         "seconds": round(elapsed, 2),
         "sustained_tick_hz": round(ticks / elapsed, 2),
         "requests_sent": sent,
@@ -191,7 +198,8 @@ def main(argv=None):
     if args.out:
         from benchmarks.reporting import merge_report
         key = (f"serving_tick_{args.mode}_"
-               f"{'pipelined' if not args.sync else 'sync'}")
+               f"{'pipelined' if not args.sync else 'sync'}"
+               + ("_int8" if args.int8 else ""))
         merge_report(args.out, result, key=key)
     return result
 

@@ -1,0 +1,164 @@
+"""W8A8 int8 quantized inference (ops/quant.py).
+
+The int8 path is an opt-in serving configuration for carry mode: LSTM
+matmuls run int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e).
+Like carry mode itself it must carry a measured accuracy label — these
+tests bound the quantization error at the cell level on random weights
+and at the METRIC level on the committed TRAINED checkpoint fixture, and
+pin the guard rails (exact mode rejects quantized params; bf16 casting
+must not destroy int8 kernels)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mobileposer_tpu.nn.lstm import init_lstm_layer, lstm_cell_step
+from mobileposer_tpu.ops.quant import (dynamic_quantize, int8_matmul,
+                                       is_quantized,
+                                       quantize_lstm_direction,
+                                       quantize_params_int8,
+                                       quantize_weight_int8)
+
+_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "demo_checkpoint_f16.npz")
+
+
+def test_weight_quant_roundtrip():
+    w = np.random.RandomState(0).randn(64, 128).astype(np.float32)
+    q, s = quantize_weight_int8(w)
+    assert q.dtype == np.int8 and s.dtype == np.float32
+    # per-column symmetric: dequant error bounded by half a quantum
+    err = np.abs(q.astype(np.float32) * s - w)
+    assert (err <= 0.5 * s[None, :] + 1e-7).all()
+    # negation symmetry (127-grid, no -128 corner)
+    qn, sn = quantize_weight_int8(-w)
+    np.testing.assert_array_equal(qn, -q)
+    np.testing.assert_allclose(sn, s)
+
+
+def test_dynamic_quantize_zero_row_safe():
+    x = jnp.zeros((4, 16))
+    q, s = jax.jit(dynamic_quantize)(x)
+    assert np.isfinite(np.asarray(s)).all()
+    assert (np.asarray(q) == 0).all()
+
+
+def test_int8_matmul_close_to_f32():
+    rng = np.random.RandomState(1)
+    x = rng.randn(8, 64).astype(np.float32)
+    w = rng.randn(64, 96).astype(np.float32)
+    q, s = quantize_weight_int8(w)
+    got = np.asarray(jax.jit(int8_matmul)(x, q, s))
+    ref = x @ w
+    # both operands are ~1% quantized; the contraction averages the noise
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, f"relative error {rel:.4f}"
+
+
+def test_cell_dispatch_and_accuracy():
+    """lstm_cell_step dispatches on int8 kernels and stays close to the
+    f32 cell (~0.6% of the hidden range measured; bound 3x that)."""
+    k = jax.random.PRNGKey(0)
+    p = init_lstm_layer(k, 60, 256)
+    pq = quantize_lstm_direction(jax.device_get(p))
+    assert is_quantized(pq) and not is_quantized(jax.device_get(p))
+    rng = np.random.RandomState(2)
+    x = rng.randn(8, 60).astype(np.float32)
+    h = np.tanh(rng.randn(8, 256)).astype(np.float32)
+    c = rng.randn(8, 256).astype(np.float32)
+    f = jax.jit(lstm_cell_step)
+    h1, c1 = f(p, x, h, c)
+    h2, c2 = f(pq, x, h, c)
+    assert float(jnp.abs(h1 - h2).max()) < 0.02
+    assert float(jnp.abs(c1 - c2).max()) < 0.03
+    # bf16 carries keep their dtype through the quantized cell (scan
+    # carries require a stable dtype)
+    hb, cb = f(pq, x.astype(jnp.bfloat16), h.astype(jnp.bfloat16),
+               c.astype(jnp.bfloat16))
+    assert hb.dtype == jnp.bfloat16 and cb.dtype == jnp.bfloat16
+
+
+def test_quantize_params_structure_and_cast_interplay():
+    from mobileposer_tpu.models import init_all_modules
+    from mobileposer_tpu.nn import cast_params
+    params = jax.device_get(init_all_modules(jax.random.PRNGKey(0)))
+    pq = quantize_params_int8(params)
+    for mod in ("joints", "poser", "footcontact", "velocity"):
+        # linears untouched
+        np.testing.assert_array_equal(pq[mod]["linear1"]["w"],
+                                      np.asarray(params[mod]["linear1"]["w"]))
+        for layer in pq[mod]["lstm"]:
+            for d in layer.values():
+                assert d["w_ih"].dtype == np.int8
+                assert d["w_hh"].dtype == np.int8
+                assert d["w_ih_scale"].dtype == np.float32
+                assert "b_ih" not in d and "b" in d
+    # cast_params only touches float leaves: int8 kernels survive a bf16
+    # cast (the documented order is cast-then-quantize, but a stray cast
+    # must not silently dequantize the model)
+    pq_bf = jax.device_get(cast_params(pq, jnp.bfloat16))
+    d = pq_bf["joints"]["lstm"][0]["fwd"]
+    assert np.asarray(d["w_ih"]).dtype == np.int8
+
+
+def test_server_rejects_int8_outside_carry():
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    from mobileposer_tpu.stream.server import PoseServer
+    net = MobilePoserNet(ParametricModel.synthetic(num_vertices=48))
+    params = init_all_modules(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="carry"):
+        PoseServer(net, params, port=0, mode="exact", quantize="int8")
+    with pytest.raises(ValueError, match="quantize"):
+        PoseServer(net, params, port=0, mode="carry", quantize="fp4")
+
+
+@pytest.fixture(scope="module")
+def trained_params():
+    if not os.path.exists(_FIXTURE):
+        pytest.skip("trained checkpoint fixture not present")
+    from mobileposer_tpu.train.trainer import load_combined_weights
+    params = load_combined_weights(_FIXTURE)
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), params)
+
+
+def test_int8_carry_metrics_close_on_trained_checkpoint(trained_params,
+                                                        tmp_path):
+    """The serving-grade bound: int8-carry vs f32-carry metric deltas on
+    TRAINED weights must stay well inside the carry-vs-exact gap itself
+    (SIP +0.52 deg) — quantization must not dominate the approximation
+    it accelerates."""
+    from mobileposer_tpu.data import EvalSequence, PoseDataset
+    from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
+    from mobileposer_tpu.evaluation import evaluate_pose
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.models import MobilePoserNet
+
+    body = ParametricModel.synthetic(num_vertices=240)
+    f = tmp_path / "eval.pt"
+    make_synthetic_processed_dataset(f, n_sequences=2, T=120, seed=21,
+                                     body_model=body)
+    ds = PoseDataset(fold="test", evaluate="dip", body_model=body,
+                     data_files=[f])
+    view = EvalSequence(ds, combo="lw_rp")
+    net = MobilePoserNet(body)
+    res = {}
+    for label, p in (("f32", trained_params),
+                     ("int8", quantize_params_int8(trained_params))):
+        out = evaluate_pose(net, p, view, online=True, verbose=False,
+                            online_mode="carry", offline=False)
+        res[label] = np.asarray(out["online"])
+    delta = res["int8"] - res["f32"]
+    # rows: 0 SIP(deg), 3 positional(cm), 6 jitter. Measured on this
+    # fixture: +0.003 deg / -0.005 cm / +0.056 jitter — bounds leave two
+    # orders of magnitude for eval-data variation while still catching a
+    # broken quantizer (a mis-scaled gate moves SIP by tens of degrees).
+    assert abs(delta[0, 0]) < 0.5, f"SIP int8 delta {delta[0, 0]:.3f} deg"
+    assert abs(delta[3, 0]) < 0.5, f"pos int8 delta {delta[3, 0]:.3f} cm"
+    assert abs(delta[6, 0]) < 0.2, f"jitter int8 delta {delta[6, 0]:.3f}"
+    assert np.isfinite(res["int8"]).all()
