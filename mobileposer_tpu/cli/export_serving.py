@@ -31,6 +31,10 @@ def main(argv=None) -> None:
     parser.add_argument("--seq-len", type=int, default=512,
                         help="padded sequence length (offline mode)")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="bake the W8A8 carry program into the "
+                             "artifact (carry mode only; int8 kernels "
+                             "ship in the weights npz, 4x smaller)")
     parser.add_argument("--platforms", default="tpu",
                         help="comma-separated lowering targets (each extra "
                              "platform ~doubles export time; add cpu only "
@@ -38,6 +42,8 @@ def main(argv=None) -> None:
     parser.add_argument("--smoke-test", action="store_true",
                         help="reload the bundle and run one step")
     args = parser.parse_args(argv)
+    if args.int8 and args.mode != "carry":
+        parser.error("--int8 requires --mode carry")
 
     import jax
     import jax.numpy as jnp
@@ -60,9 +66,11 @@ def main(argv=None) -> None:
     out = save_bundle(args.out, net, params, n_streams=args.streams,
                       mode=args.mode, dtype=dtype,
                       platforms=tuple(args.platforms.split(",")),
-                      seq_len=args.seq_len)
+                      seq_len=args.seq_len,
+                      quantize="int8" if args.int8 else None)
     print(f"exported {args.mode} step (S={args.streams}, "
-          f"{jnp.dtype(dtype).name}) -> {out}")
+          f"{jnp.dtype(dtype).name}"
+          + (", int8 LSTM kernels" if args.int8 else "") + f") -> {out}")
 
     if args.smoke_test:
         step, p, st, meta = load_bundle(out)

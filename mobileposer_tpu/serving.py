@@ -164,16 +164,29 @@ def _load_state_npz(path, mode: str):
 def save_bundle(directory, net: MobilePoserNet, params: dict,
                 n_streams: int, mode: str = "carry", dtype=jnp.float32,
                 platforms: Tuple[str, ...] = ("tpu",),
-                seq_len: int = 512) -> Path:
+                seq_len: int = 512, quantize: str | None = None) -> Path:
     """Write a self-contained serving bundle: StableHLO step + weights +
     fresh state + metadata.
 
     mode='carry'/'exact' exports the batched STREAMING step (n_streams
     concurrent streams, carried state). mode='offline' exports the
     stateless batched offline forward over [n_streams, seq_len, 60]
-    padded sequences (batch-processing deployments; no state file)."""
+    padded sequences (batch-processing deployments; no state file).
+
+    quantize='int8' (carry mode only) bakes the W8A8 program
+    (ops/quant.py) into the artifact: int8 kernels ship in the weights
+    npz (4x smaller than f32) and the exported StableHLO contains the
+    int8 matmuls — the deployment host needs no quantization code."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize {quantize!r}")
+    if quantize == "int8":
+        if mode != "carry":
+            raise ValueError("quantize='int8' requires mode='carry' "
+                             "(the exact/offline paths run float kernels)")
+        from mobileposer_tpu.ops.quant import quantize_params_int8
+        params = quantize_params_int8(params)
     if mode == "offline":
         exported = export_offline_forward(net, params, n_streams, seq_len,
                                           dtype, platforms)
@@ -191,6 +204,7 @@ def save_bundle(directory, net: MobilePoserNet, params: dict,
         "n_streams": n_streams,
         **({"seq_len": seq_len} if mode == "offline" else {}),
         "dtype": str(jnp.dtype(dtype)),
+        **({"quantize": quantize} if quantize else {}),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "format": "jax.export StableHLO v2 (typed npz)",

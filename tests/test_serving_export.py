@@ -99,6 +99,47 @@ def test_bf16_bundle_round_trip(net, params, tmp_path, mode):
                                       np.asarray(b, np.float32))
 
 
+def test_int8_bundle_round_trip(net, params, tmp_path):
+    """quantize='int8' bakes the W8A8 carry program (ops/quant.py) into
+    the artifact: int8 kernels survive the npz round trip, the StableHLO
+    contains the quantized matmuls, and the reloaded step agrees with the
+    live quantized step including state threading."""
+    from mobileposer_tpu.ops.quant import quantize_params_int8
+    S, N = 2, 4
+    save_bundle(tmp_path / "b8", net, params, n_streams=S, mode="carry",
+                platforms=("cpu",), quantize="int8")
+    step, p, st, meta = load_bundle(tmp_path / "b8")
+    assert meta["quantize"] == "int8"
+    d = p["joints"]["lstm"][0]["fwd"]
+    assert np.asarray(d["w_ih"]).dtype == np.int8
+    assert np.asarray(d["w_ih_scale"]).dtype == np.float32
+
+    params_q = quantize_params_int8(params)
+    live = jax.jit(net.forward_carry_batched)
+    st_live = jax.tree_util.tree_map(jnp.asarray,
+                                     net.init_carry_state_batched(S))
+    rng = np.random.RandomState(3)
+    for _ in range(N):
+        frames = rng.randn(S, 60).astype(np.float32) * 0.1
+        out_aot, st = step(p, st, frames)
+        out_live, st_live = live(params_q, st_live, jnp.asarray(frames))
+        _tree_allclose(out_aot, out_live, atol=1e-6)
+    # int8 kernels ship ~4x smaller than f32 (scales are a rounding error)
+    from mobileposer_tpu.serving import _WEIGHTS_FILE
+    import os
+    q_size = os.path.getsize(tmp_path / "b8" / _WEIGHTS_FILE)
+    save_bundle(tmp_path / "bf", net, params, n_streams=S, mode="carry",
+                platforms=("cpu",))
+    f_size = os.path.getsize(tmp_path / "bf" / _WEIGHTS_FILE)
+    assert q_size < 0.45 * f_size, (q_size, f_size)
+
+
+def test_bundle_rejects_int8_outside_carry(net, params, tmp_path):
+    with pytest.raises(ValueError, match="carry"):
+        save_bundle(tmp_path / "x", net, params, n_streams=2, mode="exact",
+                    platforms=("cpu",), quantize="int8")
+
+
 def test_legacy_plain_npz_bundle_still_loads(net, params, tmp_path):
     """Bundles written before the dtype manifest existed used plain
     np.savez; loadz_typed must fall back transparently for them."""
