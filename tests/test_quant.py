@@ -117,6 +117,36 @@ def test_server_rejects_int8_outside_carry():
         PoseServer(net, params, port=0, mode="carry", quantize="fp4")
 
 
+def test_int8_carry_sharded_matches_single_device():
+    """A data-parallel int8 serving fleet (stream axis sharded, quantized
+    params replicated) produces the same outputs as one device — int8 is
+    pure XLA (no pallas_call), so GSPMD shards it like the float path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    from mobileposer_tpu.parallel import (make_mesh, replicate_params,
+                                          shard_stream_state)
+    net = MobilePoserNet(ParametricModel.synthetic(num_vertices=48))
+    params_q = quantize_params_int8(
+        jax.device_get(init_all_modules(jax.random.PRNGKey(0))))
+    mesh = make_mesh()
+    S, N = 8, 3
+    frames = np.random.RandomState(30).randn(N, S, 60).astype(np.float32) * 0.1
+    run = jax.jit(net.forward_carry_sequence_batched)
+
+    st0 = jax.tree_util.tree_map(jnp.asarray, net.init_carry_state_batched(S))
+    (pose_ref, _, root_ref, _), _ = run(params_q, st0, frames)
+
+    st_sh = shard_stream_state(net.init_carry_state_batched(S), S, mesh)
+    frames_sh = jax.device_put(frames, NamedSharding(mesh, P(None, "data")))
+    (pose_sh, _, root_sh, _), _ = run(replicate_params(params_q, mesh),
+                                      st_sh, frames_sh)
+    np.testing.assert_allclose(np.asarray(root_sh), np.asarray(root_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pose_sh), np.asarray(pose_ref),
+                               atol=2e-5)
+
+
 @pytest.fixture(scope="module")
 def trained_params():
     if not os.path.exists(_FIXTURE):
