@@ -40,6 +40,32 @@ import jax.numpy as jnp
 BASELINE_FPS = 10_000.0  # north-star target, frames/sec/chip
 
 
+def ensure_backend_reachable(timeout_s: float = 240.0) -> str | None:
+    """Probe device discovery in a SUBPROCESS with a hard timeout.
+
+    Over the axon tunnel, `jax.devices()` does not fail when the tunnel is
+    down — it blocks forever (observed outage 2026-08-17), which would hang
+    the driver's round-end bench run with no JSON line at all. An in-process
+    watchdog thread can't be trusted to preempt a PJRT client init that
+    holds the GIL, so the probe runs the exact discovery this process is
+    about to do in a child with a kill timeout. Returns None when reachable,
+    else a short error string. Set BENCH_NO_PROBE=1 to skip (saves ~5-15 s
+    when the backend is known-good)."""
+    if os.environ.get("BENCH_NO_PROBE", "0") == "1":
+        return None
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return f"device discovery hung > {timeout_s:.0f}s (tunnel down?)"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
+        return f"device discovery failed rc={r.returncode}: {tail[0][:200]}"
+    return None
+
+
 def main():
     from benchmarks.flops import (device_kind, mfu_fields, nominal_peak_for,
                                   streaming_flops_per_emitted_frame)
@@ -217,6 +243,14 @@ if __name__ == "__main__":
     # persistent compile cache (host-feature-keyed): bench runs 4 timed
     # configs whose compiles dominate cold wall time; repeat invocations
     # (driver round-end runs) hit the cache
+    err = ensure_backend_reachable()
+    if err is not None:
+        # one honest JSON line instead of an indefinite hang: the driver
+        # records the failure and the round still produces an artifact
+        print(json.dumps({
+            "metric": "streamed_imu_frames_per_sec_per_chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0, "error": err}))
+        sys.exit(0)
     from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
     enable_persistent_compile_cache()
     main()
