@@ -208,7 +208,28 @@ def main():
     cb = _mfu(fps_cb, cflops)
     result["carry_mode_bf16_pct_of_peak"] = cb["pct_of_peak"]
     result["carry_mode_bf16_pct_of_chip"] = cb.get("pct_of_chip")
-    if any("honesty_flag" in d for d in (xb, cm, cb)) or "honesty_flag" in result:
+
+    # carry + W8A8 int8 LSTM matmuls (ops/quant.py) — MFU fields against
+    # the DOUBLED peak/fingerprint (the int8 MXU path runs at 2x the bf16
+    # rate; the fingerprint measures bf16). Reuses the bf16 linears/state/
+    # frames; run_carry_bf retraces on the int8 param dtypes.
+    from mobileposer_tpu.ops.quant import quantize_params_int8
+    params_q = quantize_params_int8(params_bf)
+    cstates_q = jax.device_put(
+        net.init_carry_state_batched(n_streams, dtype=jnp.bfloat16))
+    dev_cq = max(timed_fetch(run_carry_bf, params_q, cstates_q, frames_bf,
+                             reps=3) - rtt, 1e-9)
+    fps_cq = n_streams * n_frames / dev_cq
+    result["carry_mode_int8_frames_per_sec"] = round(fps_cq, 1)
+    cq = mfu_fields(fps_cq * cflops, chip_tflops=2.0 * chip_tf,
+                    peak=2.0 * peak)
+    result["carry_mode_int8_pct_of_peak"] = cq["pct_of_peak"]
+    result["carry_mode_int8_pct_of_chip"] = cq.get("pct_of_chip")
+    result["carry_mode_int8_peak_basis"] = (
+        "2x bf16 nominal/fingerprint (int8 MXU rate)")
+
+    if any("honesty_flag" in d
+           for d in (xb, cm, cb, cq)) or "honesty_flag" in result:
         result["honesty_flag"] = "an MFU exceeds this chip's measured matmul rate"
 
     if run_checks:
