@@ -165,6 +165,24 @@ def main():
     result["exact_bf16_pct_of_peak"] = xb["pct_of_peak"]
     result["exact_bf16_pct_of_chip"] = xb.get("pct_of_chip")
 
+    # exact semantics + W8A8 int8 LSTM matmuls (ops/quant.py): int8 input
+    # projections and int8 Pallas window kernels (nn/lstm.py routing).
+    # MFU fields against the DOUBLED peak/fingerprint (int8 MXU rate).
+    from mobileposer_tpu.ops.quant import quantize_params_int8
+    params_q = quantize_params_int8(params_bf)
+    states_xq = jax.device_put(
+        net.init_online_state_batched(n_streams, dtype=jnp.bfloat16))
+    dev_xq = max(timed_fetch(run_exact_bf, params_q, states_xq, frames_bf,
+                             reps=3) - rtt, 1e-9)
+    fps_xq = n_streams * n_frames / dev_xq
+    result["exact_int8_frames_per_sec"] = round(fps_xq, 1)
+    xq = mfu_fields(fps_xq * flops_per_frame, chip_tflops=2.0 * chip_tf,
+                    peak=2.0 * peak)
+    result["exact_int8_pct_of_peak"] = xq["pct_of_peak"]
+    result["exact_int8_pct_of_chip"] = xq.get("pct_of_chip")
+    result["exact_int8_peak_basis"] = (
+        "2x bf16 nominal/fingerprint (int8 MXU rate)")
+
     # Opt-in carry-mode streaming (models/streaming.py): forward states
     # carried across frames, backward recomputed over the 5-frame tail only
     # — an approximation of the window semantics with ~15x fewer FLOPs.
@@ -209,12 +227,9 @@ def main():
     result["carry_mode_bf16_pct_of_peak"] = cb["pct_of_peak"]
     result["carry_mode_bf16_pct_of_chip"] = cb.get("pct_of_chip")
 
-    # carry + W8A8 int8 LSTM matmuls (ops/quant.py) — MFU fields against
-    # the DOUBLED peak/fingerprint (the int8 MXU path runs at 2x the bf16
-    # rate; the fingerprint measures bf16). Reuses the bf16 linears/state/
-    # frames; run_carry_bf retraces on the int8 param dtypes.
-    from mobileposer_tpu.ops.quant import quantize_params_int8
-    params_q = quantize_params_int8(params_bf)
+    # carry + W8A8 int8 LSTM matmuls — MFU fields against the DOUBLED
+    # peak/fingerprint like the exact int8 leg above. Reuses params_q and
+    # the bf16 frames; run_carry_bf retraces on the int8 param dtypes.
     cstates_q = jax.device_put(
         net.init_carry_state_batched(n_streams, dtype=jnp.bfloat16))
     dev_cq = max(timed_fetch(run_carry_bf, params_q, cstates_q, frames_bf,
@@ -229,7 +244,7 @@ def main():
         "2x bf16 nominal/fingerprint (int8 MXU rate)")
 
     if any("honesty_flag" in d
-           for d in (xb, cm, cb, cq)) or "honesty_flag" in result:
+           for d in (xb, xq, cm, cb, cq)) or "honesty_flag" in result:
         result["honesty_flag"] = "an MFU exceeds this chip's measured matmul rate"
 
     if run_checks:

@@ -32,9 +32,10 @@ def main(argv=None) -> None:
                         help="padded sequence length (offline mode)")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--int8", action="store_true",
-                        help="bake the W8A8 carry program into the "
-                             "artifact (carry mode only; int8 kernels "
-                             "ship in the weights npz, 4x smaller)")
+                        help="bake the W8A8 program into the artifact "
+                             "(int8 kernels ship in the weights npz, 4x "
+                             "smaller; exact/offline artifacts embed the "
+                             "int8 Pallas window kernels)")
     parser.add_argument("--platforms", default="tpu",
                         help="comma-separated lowering targets (each extra "
                              "platform ~doubles export time; add cpu only "
@@ -42,9 +43,6 @@ def main(argv=None) -> None:
     parser.add_argument("--smoke-test", action="store_true",
                         help="reload the bundle and run one step")
     args = parser.parse_args(argv)
-    if args.int8 and args.mode != "carry":
-        parser.error("--int8 requires --mode carry")
-
     import jax
     import jax.numpy as jnp
 

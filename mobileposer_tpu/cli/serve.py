@@ -37,9 +37,9 @@ def main(argv=None) -> None:
                              "first (docs/parity.md)")
     parser.add_argument("--int8", action="store_true",
                         help="W8A8-quantize the LSTM matmuls onto the "
-                             "MXU's double-rate int8 path (carry mode "
-                             "only; ops/quant.py — opt-in, accuracy-"
-                             "labelled like carry mode itself)")
+                             "MXU's double-rate int8 path (ops/quant.py; "
+                             "works in exact and carry modes — opt-in, "
+                             "accuracy-labelled like carry mode itself)")
     parser.add_argument("--no-pipeline", action="store_true",
                         help="synchronous ticks (reply fetched inline). "
                              "Default is the pipelined tick: reply "
@@ -49,10 +49,6 @@ def main(argv=None) -> None:
                              "against the 33.3 ms budget); replies carry "
                              "identical content one tick later")
     args = parser.parse_args(argv)
-    if args.int8 and not args.carry:
-        parser.error("--int8 requires --carry (the exact windowed path "
-                     "runs float Pallas kernels)")
-
     # serving cold-start is compile-bound; repeat deploys on the same host
     # hit the persistent cache (measured 3.4 s cold vs 2.7 s warm —
     # serving.py module docstring)

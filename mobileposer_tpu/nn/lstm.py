@@ -122,13 +122,16 @@ def lstm_cell_step(p: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
 
 def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
                h0: jnp.ndarray, c0: jnp.ndarray,
-               mask: Optional[jnp.ndarray]):
+               mask: Optional[jnp.ndarray],
+               w_hh_scale: Optional[jnp.ndarray] = None):
     """Scan an LSTM over time.
 
     x_proj: [T, B, 4H] precomputed input projection (+ both biases)
-    w_hh:   [H, 4H]
+    w_hh:   [H, 4H] (float, or int8 when w_hh_scale is given)
     h0/c0:  [B, H]
     mask:   [T, B] 1.0 where the frame is valid, or None for full-length.
+    w_hh_scale: [4H] per-column dequant scale — runs the recurrent matmul
+            on the W8A8 path (ops/quant.py int8_recurrent_gates).
 
     Returns (hidden sequence [T, B, H], (h_T, c_T)).
     Masked steps hold the carry (so (h_T, c_T) equals the state at each
@@ -140,7 +143,12 @@ def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
             xp = inp
         else:
             xp, m = inp
-        h_new, c_new = _gate_update(xp + h @ w_hh, c)
+        if w_hh_scale is None:
+            rec = h @ w_hh
+        else:
+            from mobileposer_tpu.ops.quant import int8_recurrent_gates
+            rec = int8_recurrent_gates(h, w_hh, w_hh_scale).astype(h.dtype)
+        h_new, c_new = _gate_update(xp + rec, c)
         if mask is not None:
             m = m[:, None]
             c_new = m * c_new + (1 - m) * c
@@ -274,6 +282,11 @@ def lstm_forward(params_layers, x: jnp.ndarray,
     """
     if backend in ("auto_train", "auto_train_bf16res"):
         backend = resolve_train_backend(backend)
+    quantized = jnp.dtype(params_layers[0]["fwd"]["w_ih"].dtype) == jnp.int8
+    if quantized and backend in ("pallas_train", "pallas_train_bf16res"):
+        raise ValueError(
+            "int8-quantized params are inference-only (jnp.round has no "
+            "gradient); use float params for training backends")
     if backend in ("pallas", "pallas_train", "pallas_train_bf16res"):
         try:
             platform = jax.default_backend()
@@ -327,16 +340,28 @@ def lstm_forward(params_layers, x: jnp.ndarray,
         for di, dname in enumerate(["fwd", "bwd"][:n_dir]):
             p = layer[dname]
             inp = xs if dname == "fwd" else _reverse_by_length(xs, lengths)
-            # Input projection for all T at once — one MXU-shaped matmul.
-            x_proj = inp @ p["w_ih"] + (p["b_ih"] + p["b_hh"])
+            # Input projection for all T at once — one MXU-shaped matmul
+            # (int8 x int8 -> int32 when the layer is W8A8-quantized).
+            from mobileposer_tpu.ops.lstm_pallas import _project_timesteps
+            x_proj = _project_timesteps(inp, p, dtype)
             sidx = li * n_dir + di
-            if use_pallas:
+            if use_pallas and quantized:
+                # inference-only kernel: no VJP wrapper (int8 has no grad)
+                from mobileposer_tpu.ops.lstm_pallas import (
+                    lstm_layer_masked_pallas_int8)
+                full_mask = (mask if mask is not None
+                             else jnp.ones((T, B), dtype))
+                ys, (h_t, c_t) = lstm_layer_masked_pallas_int8(
+                    x_proj, p["w_hh"], p["w_hh_scale"],
+                    h0_all[sidx], c0_all[sidx], full_mask)
+            elif use_pallas:
                 ys, (h_t, c_t) = _masked_pallas_diffable(
                     False, x_proj, p["w_hh"], h0_all[sidx], c0_all[sidx],
                     mask)
             else:
-                ys, (h_t, c_t) = _lstm_scan(x_proj, p["w_hh"],
-                                            h0_all[sidx], c0_all[sidx], mask)
+                ys, (h_t, c_t) = _lstm_scan(
+                    x_proj, p["w_hh"], h0_all[sidx], c0_all[sidx], mask,
+                    w_hh_scale=p.get("w_hh_scale"))
             if dname == "bwd":
                 ys = _reverse_by_length(ys, lengths)
             outs.append(ys)

@@ -1,10 +1,10 @@
-"""Int8 (W8A8) quantized inference for the carry-mode serving path.
+"""Int8 (W8A8) quantized inference for the serving paths (carry + exact).
 
 TPU MXUs execute int8 x int8 -> int32 matmuls at twice the bf16 rate
-(v5e: 394 int8 TOPS vs 197 bf16 TFLOPS), and carry-mode streaming is
-compute-bound at high stream counts (~90% of bf16 peak on v5e-1,
-benchmarks/report_v5e1.json). Quantizing the LSTM matmuls — which carry
-essentially all of the carry step's FLOPs — is therefore the one
+(v5e: 394 int8 TOPS vs 197 bf16 TFLOPS), and both streaming modes are
+compute-bound at high stream counts (exact ~68%, carry ~90% of bf16 peak
+on v5e-1, benchmarks/report_v5e1.json). Quantizing the LSTM matmuls —
+which carry essentially all of the step FLOPs — is therefore the one
 remaining ~2x compute lever on this hardware. The reference has no
 quantized path; this is an extension beyond parity, opt-in like carry
 mode itself, and it must always ship with a measured accuracy label
@@ -29,13 +29,19 @@ Only LSTM kernel matmuls are quantized. linear1/linear2 are a rounding
 error of the FLOPs (<3%) and the output head's precision matters most,
 so they run in the float dtype of the incoming activations.
 
-Quantized direction dicts keep the key "w_ih"/"w_hh" with int8 dtype;
-`nn.lstm.lstm_cell_step` dispatches on that dtype, so the ENTIRE carry
-stack (models/streaming.py) — rings, tails, provisional steps, fusion —
-runs unchanged on quantized params. The windowed/exact paths do NOT
-accept quantized params (they precompute x @ w_ih projections and run
-Pallas float kernels); `quantize_params_int8` output is for carry-mode
-serving only, and feeding it elsewhere fails loudly on a dtype check.
+Quantized direction dicts keep the key "w_ih"/"w_hh" with int8 dtype and
+EVERY inference path dispatches on that dtype:
+
+  * carry mode — `nn.lstm.lstm_cell_step` routes to the int8 cell, so the
+    whole carry stack (models/streaming.py) runs unchanged;
+  * exact/windowed mode — `nn.lstm.lstm_forward` computes the bulk input
+    projections with `int8_matmul` and runs the recurrent scans either as
+    an int8 XLA scan or through the int8 Pallas kernels
+    (ops/lstm_pallas.py `*_int8`), which re-quantize the hidden state
+    per step inside the kernel via `int8_recurrent_gates`.
+
+Training backends reject quantized params (jnp.round has no gradient;
+quantization is a post-training serving transform).
 """
 
 from __future__ import annotations
@@ -127,6 +133,23 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
         x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * (x_scale * w_scale)
+
+
+def int8_recurrent_gates(h: jnp.ndarray, w_q: jnp.ndarray,
+                         w_scale: jnp.ndarray) -> jnp.ndarray:
+    """Quantized recurrent gate contribution: h [B, H] @ int8 w_q [H, 4H]
+    -> f32 [B, 4H], re-quantizing h per row each call.
+
+    THE single implementation of the per-step int8 recurrent matmul: the
+    XLA scan path (nn/lstm._lstm_scan with a w_hh_scale) and the int8
+    Pallas kernels (ops/lstm_pallas.py) both call it, so their numerics
+    agree to float rounding (the int8 x int8 -> int32 contraction itself
+    is exact). Uses plain jnp.dot — 2D operands only — which lowers on
+    the MXU's native int8 path inside Mosaic kernels. w_scale may be
+    [4H] or [1, 4H] (kernel refs carry a leading block dim)."""
+    h_q, h_scale = dynamic_quantize(h)
+    acc = jnp.dot(h_q, w_q, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (h_scale * w_scale.reshape(1, -1))
 
 
 def lstm_cell_step_int8(p: dict, x: jnp.ndarray, h: jnp.ndarray,

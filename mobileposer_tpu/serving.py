@@ -173,18 +173,17 @@ def save_bundle(directory, net: MobilePoserNet, params: dict,
     stateless batched offline forward over [n_streams, seq_len, 60]
     padded sequences (batch-processing deployments; no state file).
 
-    quantize='int8' (carry mode only) bakes the W8A8 program
-    (ops/quant.py) into the artifact: int8 kernels ship in the weights
-    npz (4x smaller than f32) and the exported StableHLO contains the
-    int8 matmuls — the deployment host needs no quantization code."""
+    quantize='int8' bakes the W8A8 program (ops/quant.py) into the
+    artifact: int8 kernels ship in the weights npz (4x smaller than f32)
+    and the exported StableHLO contains the int8 matmuls — the deployment
+    host needs no quantization code. In carry mode the program is pure
+    XLA; exact/offline programs embed the int8 Pallas window kernels
+    (single-device TPU artifacts)."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     if quantize not in (None, "int8"):
         raise ValueError(f"unknown quantize {quantize!r}")
     if quantize == "int8":
-        if mode != "carry":
-            raise ValueError("quantize='int8' requires mode='carry' "
-                             "(the exact/offline paths run float kernels)")
         from mobileposer_tpu.ops.quant import quantize_params_int8
         params = quantize_params_int8(params)
     if mode == "offline":

@@ -54,12 +54,13 @@ class PoseServer:
         approximation (models/streaming.py) at ~4.5x the throughput —
         validate accuracy on real checkpoints first (docs/parity.md).
 
-        quantize='int8' (carry mode only) runs the LSTM matmuls as
-        dynamic-activation W8A8 on the MXU's double-rate int8 path
-        (ops/quant.py). Like carry mode itself it is opt-in and ships
-        with a measured accuracy label (tests/test_quant.py bounds it on
-        the trained fixture). Applied AFTER any bf16 cast of the params
-        (the caller controls that), so dequant scales stay f32.
+        quantize='int8' runs the LSTM matmuls as dynamic-activation W8A8
+        on the MXU's double-rate int8 path (ops/quant.py) — in carry mode
+        through the quantized cell steps, in exact mode through the int8
+        input projections + int8 Pallas window kernels. Opt-in and ships
+        with a measured accuracy label (tests/test_quant.py bounds both
+        modes on the trained fixture). Applied AFTER any bf16 cast of the
+        params (the caller controls that), so dequant scales stay f32.
 
         pipelined=True overlaps reply transport with the next tick's
         compute: tick() only drains requests and dispatches the device
@@ -86,11 +87,12 @@ class PoseServer:
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize {quantize!r}")
         if quantize == "int8":
-            if mode != "carry":
+            if mode == "exact" and mesh is not None and mesh.devices.size > 1:
                 raise ValueError(
-                    "quantize='int8' requires mode='carry': the windowed "
-                    "exact path precomputes float input projections and "
-                    "runs float Pallas kernels (ops/quant.py)")
+                    "quantize='int8' with mode='exact' cannot shard over a "
+                    "multi-device mesh: the int8 window kernels are "
+                    "pallas_calls, which have no GSPMD partitioning rule — "
+                    "use mode='carry' (pure XLA) for sharded int8 fleets")
             from mobileposer_tpu.ops.quant import quantize_params_int8
             params = quantize_params_int8(params)
         self.quantize = quantize

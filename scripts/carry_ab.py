@@ -67,9 +67,9 @@ def train_demo_checkpoint(epochs: int, batch_size: int = 64):
 def run_ab(params, body, fixture, rows=(0, 3, 6), int8=False):
     """ONLINE protocol exact vs carry on the held-out synthetic view.
     Returns dict with both 8-row tables and the per-row deltas. With
-    int8=True, a third leg runs carry mode on W8A8-quantized params
-    (ops/quant.py) so the int8 serving config gets the same measured
-    accuracy label carry mode itself carries."""
+    int8=True, two more legs run carry AND exact mode on W8A8-quantized
+    params (ops/quant.py) so both int8 serving configs get the same
+    measured accuracy label carry mode itself carries."""
     from mobileposer_tpu.data import EvalSequence, PoseDataset
     from mobileposer_tpu.evaluation import evaluate_pose
     from mobileposer_tpu.evaluation.pose_eval import METRIC_NAMES
@@ -82,13 +82,16 @@ def run_ab(params, body, fixture, rows=(0, 3, 6), int8=False):
     legs = {"exact": ("exact", params), "carry": ("carry", params)}
     if int8:
         from mobileposer_tpu.ops.quant import quantize_params_int8
-        legs["carry_int8"] = ("carry", quantize_params_int8(params))
+        pq = quantize_params_int8(params)
+        legs["carry_int8"] = ("carry", pq)
+        legs["exact_int8"] = ("exact", pq)
     out = {}
     for leg, (mode, p) in legs.items():
-        # quantized params only trace through carry mode: skip the
-        # offline windowed pass for that leg (evaluate_pose(offline=False))
+        # the quantized legs label the ONLINE serving configs; skip their
+        # offline windowed pass (it answers no serving question)
         res = evaluate_pose(net, p, view, online=True, verbose=False,
-                            online_mode=mode, offline=(leg != "carry_int8"))
+                            online_mode=mode,
+                            offline=not leg.endswith("_int8"))
         out[leg] = np.asarray(res["online"])
     delta = out["carry"] - out["exact"]
     report = {
@@ -105,12 +108,18 @@ def run_ab(params, body, fixture, rows=(0, 3, 6), int8=False):
     }
     if int8:
         d8 = out["carry_int8"] - out["carry"]
+        dx8 = out["exact_int8"] - out["exact"]
         report["carry_int8_mean"] = out["carry_int8"][:, 0].round(4).tolist()
         report["int8_delta_vs_carry_mean"] = d8[:, 0].round(4).tolist()
+        report["exact_int8_mean"] = out["exact_int8"][:, 0].round(4).tolist()
+        report["int8_delta_vs_exact_mean"] = dx8[:, 0].round(4).tolist()
         report["headline_int8"] = {METRIC_NAMES[i]: {
             "carry": float(out["carry"][i, 0]),
             "carry_int8": float(out["carry_int8"][i, 0]),
-            "delta_vs_carry": float(d8[i, 0])} for i in rows}
+            "delta_vs_carry": float(d8[i, 0]),
+            "exact": float(out["exact"][i, 0]),
+            "exact_int8": float(out["exact_int8"][i, 0]),
+            "delta_vs_exact": float(dx8[i, 0])} for i in rows}
     return report
 
 

@@ -22,8 +22,11 @@ run python scripts/serving_slo.py --streams 256 --seconds 20 --out "$REPORT"
 run python scripts/serving_slo.py --streams 256 --seconds 20 --sync --out "$REPORT"
 run python scripts/serving_slo.py --streams 256 --seconds 20 --mode carry --out "$REPORT"
 
-# 1b. int8 serving leg (W8A8 carry mode; ops/quant.py)
+# 1b. int8 serving legs (W8A8; ops/quant.py) — carry (pure XLA) and
+# exact (int8 Pallas window kernels)
 run python scripts/serving_slo.py --streams 256 --seconds 20 --mode carry \
+    --int8 --out "$REPORT"
+run python scripts/serving_slo.py --streams 256 --seconds 20 --mode exact \
     --int8 --out "$REPORT"
 
 # 2. Carry drift at the 10^5-frame horizon (trained fixture)

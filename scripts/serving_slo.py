@@ -53,12 +53,10 @@ def main(argv=None):
                         help="synchronous tick (the pre-r4 behavior) for A/B")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--int8", action="store_true",
-                        help="W8A8 LSTM matmuls (carry mode only; "
+                        help="W8A8 LSTM matmuls (exact or carry mode; "
                              "ops/quant.py)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
-    if args.int8 and args.mode != "carry":
-        parser.error("--int8 requires --mode carry")
 
     from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
     enable_persistent_compile_cache()

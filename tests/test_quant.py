@@ -105,16 +105,112 @@ def test_quantize_params_structure_and_cast_interplay():
     assert np.asarray(d["w_ih"]).dtype == np.int8
 
 
-def test_server_rejects_int8_outside_carry():
+def test_server_quantize_guards():
+    """exact + int8 is a supported single-device configuration (the int8
+    window kernels); a multi-device mesh with exact+int8 is rejected
+    (pallas_call has no GSPMD rule), and unknown schemes fail loudly."""
     from mobileposer_tpu.kinematics import ParametricModel
     from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    from mobileposer_tpu.parallel import make_mesh
     from mobileposer_tpu.stream.server import PoseServer
     net = MobilePoserNet(ParametricModel.synthetic(num_vertices=48))
     params = init_all_modules(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="carry"):
-        PoseServer(net, params, port=0, mode="exact", quantize="int8")
+    s = PoseServer(net, params, port=0, mode="exact", quantize="int8")
+    s.sock.close()
+    assert s.quantize == "int8"
     with pytest.raises(ValueError, match="quantize"):
         PoseServer(net, params, port=0, mode="carry", quantize="fp4")
+    mesh = make_mesh()
+    if mesh.devices.size > 1:
+        with pytest.raises(ValueError, match="GSPMD"):
+            PoseServer(net, params, port=0, mode="exact", quantize="int8",
+                       max_streams=mesh.devices.size, mesh=mesh)
+
+
+def test_int8_exact_lstm_forward_close_to_f32():
+    """The exact/windowed path accepts quantized params: int8 input
+    projections + int8 recurrent scans stay within dynamic-quant noise of
+    the float forward, full-length and masked."""
+    from mobileposer_tpu.nn.lstm import LSTMConfig, init_rnn, rnn_apply
+    cfg = LSTMConfig(60, 72, 128)
+    params = jax.device_get(init_rnn(jax.random.PRNGKey(0), cfg))
+    pq = quantize_params_int8(params)
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 20, 60).astype(np.float32) * 0.5
+    lengths = jnp.asarray([20, 13, 7, 20], jnp.int32)
+    for kw in ({}, {"lengths": lengths}):
+        yf, (hf, cf) = jax.jit(
+            lambda p, x: rnn_apply(p, cfg, x, **kw))(params, x)
+        yq, (hq, cq) = jax.jit(
+            lambda p, x: rnn_apply(p, cfg, x, **kw))(pq, x)
+        rel = float(jnp.abs(yq - yf).max() / jnp.abs(yf).max())
+        assert rel < 0.03, f"kw={kw}: relative error {rel:.4f}"
+        assert float(jnp.abs(hq - hf).max()) < 0.05
+
+
+def test_int8_pallas_kernels_match_xla_scan_interpret():
+    """The int8 Pallas kernels (uni / masked / fused bi) agree with the
+    int8 XLA scan bit-for-bit in interpret mode — the int8 x int8 -> int32
+    contraction is exact, and both paths share int8_recurrent_gates."""
+    from mobileposer_tpu.nn.lstm import (LSTMConfig, _lstm_scan, init_rnn,
+                                         lstm_forward)
+    from mobileposer_tpu.ops.lstm_pallas import (
+        _project_timesteps, bilstm_layer_pallas_int8, lstm_forward_pallas,
+        lstm_layer_masked_pallas_int8, lstm_layer_pallas_int8)
+    cfg = LSTMConfig(60, 72, 128)
+    params = jax.device_get(init_rnn(jax.random.PRNGKey(1), cfg))
+    pq = quantize_params_int8(params)
+    rng = np.random.RandomState(2)
+    hidden = jnp.asarray(rng.randn(3, 12, cfg.n_hidden).astype(np.float32))
+
+    # multi-layer bi full-length: kernel stack vs XLA int8 stack
+    yk, (hk, ck) = lstm_forward_pallas(pq["lstm"], hidden, interpret=True)
+    yx, (hx, cx) = lstm_forward(pq["lstm"], hidden, backend="xla")
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hk), np.asarray(hx), atol=1e-6)
+
+    # single-layer masked + uni kernels vs the int8 scan
+    p0 = pq["lstm"][0]["fwd"]
+    xs = jnp.swapaxes(hidden, 0, 1)                      # [T, B, H]
+    xp = _project_timesteps(xs, p0, xs.dtype)
+    T, B = xp.shape[:2]
+    H = p0["w_hh"].shape[0]
+    h0 = jnp.zeros((B, H))
+    c0 = jnp.zeros((B, H))
+    lengths = jnp.asarray([12, 5, 9], jnp.int32)
+    mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(xs.dtype)
+    ysk, _ = lstm_layer_masked_pallas_int8(xp, p0["w_hh"], p0["w_hh_scale"],
+                                           h0, c0, mask, interpret=True)
+    yss, _ = _lstm_scan(xp, p0["w_hh"], h0, c0, mask,
+                        w_hh_scale=p0["w_hh_scale"])
+    np.testing.assert_allclose(np.asarray(ysk), np.asarray(yss), atol=1e-6)
+    ysu, _ = lstm_layer_pallas_int8(xp, p0["w_hh"], p0["w_hh_scale"],
+                                    h0, c0, interpret=True)
+    ysn, _ = _lstm_scan(xp, p0["w_hh"], h0, c0, None,
+                        w_hh_scale=p0["w_hh_scale"])
+    np.testing.assert_allclose(np.asarray(ysu), np.asarray(ysn), atol=1e-6)
+
+    # fused bi kernel vs per-direction int8 scans
+    pf, pb = pq["lstm"][0]["fwd"], pq["lstm"][0]["bwd"]
+    xpf = _project_timesteps(xs, pf, xs.dtype)
+    xpb = _project_timesteps(xs[::-1], pb, xs.dtype)
+    ysf, ysb, _, _ = bilstm_layer_pallas_int8(
+        xpf, xpb, pf["w_hh"], pb["w_hh"], pf["w_hh_scale"],
+        pb["w_hh_scale"], h0, c0, h0, c0, interpret=True)
+    rf, _ = _lstm_scan(xpf, pf["w_hh"], h0, c0, None, pf["w_hh_scale"])
+    rb, _ = _lstm_scan(xpb, pb["w_hh"], h0, c0, None, pb["w_hh_scale"])
+    np.testing.assert_allclose(np.asarray(ysf), np.asarray(rf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ysb), np.asarray(rb), atol=1e-6)
+
+
+def test_int8_rejects_training_backends():
+    from mobileposer_tpu.nn.lstm import LSTMConfig, init_rnn, lstm_forward
+    cfg = LSTMConfig(60, 72, 64)
+    pq = quantize_params_int8(
+        jax.device_get(init_rnn(jax.random.PRNGKey(0), cfg)))
+    x = jnp.zeros((2, 5, 64))
+    with pytest.raises(ValueError, match="inference-only"):
+        lstm_forward(pq["lstm"], x, backend="pallas_train")
 
 
 def test_int8_carry_sharded_matches_single_device():
@@ -188,6 +284,38 @@ def test_int8_carry_metrics_close_on_trained_checkpoint(trained_params,
     # fixture: +0.003 deg / -0.005 cm / +0.056 jitter — bounds leave two
     # orders of magnitude for eval-data variation while still catching a
     # broken quantizer (a mis-scaled gate moves SIP by tens of degrees).
+    assert abs(delta[0, 0]) < 0.5, f"SIP int8 delta {delta[0, 0]:.3f} deg"
+    assert abs(delta[3, 0]) < 0.5, f"pos int8 delta {delta[3, 0]:.3f} cm"
+    assert abs(delta[6, 0]) < 0.2, f"jitter int8 delta {delta[6, 0]:.3f}"
+    assert np.isfinite(res["int8"]).all()
+
+
+def test_int8_exact_metrics_close_on_trained_checkpoint(trained_params,
+                                                        tmp_path):
+    """Same bound for the EXACT windowed path on int8 (nn/lstm.py int8
+    projections + scans): quantization noise on trained weights must stay
+    a fraction of the carry-vs-exact gap it is compared against."""
+    from mobileposer_tpu.data import EvalSequence, PoseDataset
+    from mobileposer_tpu.data.fixtures import make_synthetic_processed_dataset
+    from mobileposer_tpu.evaluation import evaluate_pose
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.models import MobilePoserNet
+
+    body = ParametricModel.synthetic(num_vertices=240)
+    f = tmp_path / "eval.pt"
+    make_synthetic_processed_dataset(f, n_sequences=2, T=120, seed=22,
+                                     body_model=body)
+    ds = PoseDataset(fold="test", evaluate="dip", body_model=body,
+                     data_files=[f])
+    view = EvalSequence(ds, combo="lw_rp")
+    net = MobilePoserNet(body)
+    res = {}
+    for label, p in (("f32", trained_params),
+                     ("int8", quantize_params_int8(trained_params))):
+        out = evaluate_pose(net, p, view, online=True, verbose=False,
+                            offline=False)
+        res[label] = np.asarray(out["online"])
+    delta = res["int8"] - res["f32"]
     assert abs(delta[0, 0]) < 0.5, f"SIP int8 delta {delta[0, 0]:.3f} deg"
     assert abs(delta[3, 0]) < 0.5, f"pos int8 delta {delta[3, 0]:.3f} cm"
     assert abs(delta[6, 0]) < 0.2, f"jitter int8 delta {delta[6, 0]:.3f}"

@@ -134,10 +134,35 @@ def test_int8_bundle_round_trip(net, params, tmp_path):
     assert q_size < 0.45 * f_size, (q_size, f_size)
 
 
-def test_bundle_rejects_int8_outside_carry(net, params, tmp_path):
-    with pytest.raises(ValueError, match="carry"):
-        save_bundle(tmp_path / "x", net, params, n_streams=2, mode="exact",
-                    platforms=("cpu",), quantize="int8")
+def test_int8_exact_bundle_round_trip(net, params, tmp_path):
+    """quantize='int8' also bakes the W8A8 EXACT windowed program (the
+    int8 projections + recurrent scans, nn/lstm.py): the reloaded step
+    agrees with the live quantized exact step including state threading.
+    (On the cpu export platform the scans are the XLA int8 path; TPU
+    artifacts embed the int8 Pallas kernels.)"""
+    from mobileposer_tpu.ops.quant import quantize_params_int8
+    S, N = 2, 3
+    save_bundle(tmp_path / "bx8", net, params, n_streams=S, mode="exact",
+                platforms=("cpu",), quantize="int8")
+    step, p, st, meta = load_bundle(tmp_path / "bx8")
+    assert meta["quantize"] == "int8" and meta["mode"] == "exact"
+
+    params_q = quantize_params_int8(params)
+    live = jax.jit(net.forward_online_batched)
+    st_live = jax.tree_util.tree_map(jnp.asarray,
+                                     net.init_online_state_batched(S))
+    rng = np.random.RandomState(4)
+    for _ in range(N):
+        frames = rng.randn(S, 60).astype(np.float32) * 0.1
+        out_aot, st = step(p, st, frames)
+        out_live, st_live = live(params_q, st_live, jnp.asarray(frames))
+        _tree_allclose(out_aot, out_live, atol=1e-6)
+
+
+def test_bundle_rejects_unknown_quantize(net, params, tmp_path):
+    with pytest.raises(ValueError, match="quantize"):
+        save_bundle(tmp_path / "x", net, params, n_streams=2, mode="carry",
+                    platforms=("cpu",), quantize="fp4")
 
 
 def test_legacy_plain_npz_bundle_still_loads(net, params, tmp_path):
