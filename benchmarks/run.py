@@ -498,6 +498,46 @@ def bench_carry_int8(net, params, rtt):
             **fields}
 
 
+def bench_exact_int8(net, params, rtt):
+    """Exact window semantics with W8A8 LSTM matmuls (nn/lstm.py int8
+    routing: int8 input projections + int8 Pallas window kernels) at the
+    exact-headline configuration (S=256, bf16 state/linears/frames) —
+    the int8 A/B against the streaming headline. MFU fields against the
+    DOUBLED peak/fingerprint, like carry_int8."""
+    from benchmarks.flops import nominal_peak_for
+    from mobileposer_tpu.ops.quant import quantize_params_int8
+    S, N = 256, 100
+    params_bf = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).astype(jnp.bfloat16), params)
+    params_q = quantize_params_int8(params_bf)
+    state = jax.tree_util.tree_map(
+        jnp.asarray, net.init_online_state_batched(S, dtype=jnp.bfloat16))
+
+    @jax.jit
+    def run(params, state, frames):
+        (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
+            params, state, frames)
+        return (pose.astype(jnp.float32).sum()
+                + joints.astype(jnp.float32).sum()
+                + root.astype(jnp.float32).sum()
+                + contact.astype(jnp.float32).sum())
+
+    frames = jnp.asarray(
+        np.random.RandomState(9).randn(N, S, 60).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    wall, spread = _timed(run, params_q, state, frames, reps=3)
+    fps = S * N / max(wall - rtt, 1e-9)
+    fields = mfu_fields(
+        fps * streaming_flops_per_emitted_frame(),
+        chip_tflops=2.0 * _CHIP_TFLOPS if _CHIP_TFLOPS else None,
+        peak=2.0 * nominal_peak_for())
+    return {"metric": "exact_int8_frames_per_sec", **spread,
+            "value": round(fps, 1), "unit": "frames/s", "streams": S,
+            "exact_semantics": True, "quant": "W8A8 dynamic, LSTM matmuls",
+            "peak_basis": "2x bf16 nominal/fingerprint (int8 MXU rate)",
+            **fields}
+
+
 def bench_stream_latency(net, params, rtt):
     """Single-stream per-frame device latency (the real-time metric: one
     frame must fit in the 33 ms budget of a 30 Hz stream). mode='auto'
@@ -534,6 +574,7 @@ CONFIGS = {
     "carry_streaming": bench_carry_streaming,
     "carry_max_throughput": bench_carry_max_throughput,
     "carry_int8": bench_carry_int8,
+    "exact_int8": bench_exact_int8,
     "eval_batched": bench_eval_batched,
     "datagen": bench_datagen,
 }
