@@ -17,6 +17,10 @@ run() {
     echo "--- rc=$rc ($(date +%H:%M:%S))" | tee -a "$LOG"
 }
 
+# 0. int8 Mosaic-lowering smoke: gates the int8 legs below (the kernels
+# are interpret-mode-pinned in CI; this proves the real TPU lowering)
+run python scripts/int8_tpu_smoke.py
+
 # 1. Serving SLO: the headline r4 item (pipelined vs sync at 256 streams)
 run python scripts/serving_slo.py --streams 256 --seconds 20 --out "$REPORT"
 run python scripts/serving_slo.py --streams 256 --seconds 20 --sync --out "$REPORT"
