@@ -147,6 +147,20 @@ def test_int8_exact_lstm_forward_close_to_f32():
         assert rel < 0.03, f"kw={kw}: relative error {rel:.4f}"
         assert float(jnp.abs(hq - hf).max()) < 0.05
 
+    # the serving configuration quantizes a bf16 cast (bf16 linears/
+    # x_proj/carries + int8 kernels): dtypes stay bf16 end to end and
+    # outputs stay within combined int8+bf16 noise of the f32 forward
+    from mobileposer_tpu.nn import cast_params
+    pq_bf = quantize_params_int8(jax.device_get(
+        cast_params(params, jnp.bfloat16)))
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    yb, (hb, cb) = jax.jit(lambda p, x: rnn_apply(p, cfg, x))(pq_bf, xb)
+    assert yb.dtype == jnp.bfloat16 and hb.dtype == jnp.bfloat16
+    yf, _ = jax.jit(lambda p, x: rnn_apply(p, cfg, x))(params, x)
+    rel = float(jnp.abs(yb.astype(jnp.float32) - yf).max()
+                / jnp.abs(yf).max())
+    assert rel < 0.06, f"bf16+int8 relative error {rel:.4f}"
+
 
 def test_int8_pallas_kernels_match_xla_scan_interpret():
     """The int8 Pallas kernels (uni / masked / fused bi) agree with the
