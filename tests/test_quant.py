@@ -217,6 +217,36 @@ def test_int8_pallas_kernels_match_xla_scan_interpret():
     np.testing.assert_allclose(np.asarray(ysb), np.asarray(rb), atol=1e-6)
 
 
+def test_int8_kernels_lower_for_tpu():
+    """jax.export runs the FULL Mosaic compilation pipeline for the TPU
+    target on the CPU host — this pins, from CI, that the int8 kernels
+    (int8 x int8 -> int32 jnp.dot, in-kernel dynamic re-quantization)
+    keep lowering for TPU. Runtime equivalence on a real chip is
+    scripts/int8_tpu_smoke.py's job."""
+    from jax import export
+    from mobileposer_tpu.nn.lstm import init_lstm_layer
+    from mobileposer_tpu.ops.lstm_pallas import (bilstm_layer_pallas_int8,
+                                                 lstm_layer_masked_pallas_int8,
+                                                 lstm_layer_pallas_int8)
+    pq = quantize_lstm_direction(
+        jax.device_get(init_lstm_layer(jax.random.PRNGKey(0), 128, 128)))
+    wq, ws = jnp.asarray(pq["w_hh"]), jnp.asarray(pq["w_hh_scale"])
+    T, B, H = 5, 16, 128
+    xp = jax.ShapeDtypeStruct((T, B, 4 * H), jnp.bfloat16)
+    st = jax.ShapeDtypeStruct((B, H), jnp.bfloat16)
+    mask = jax.ShapeDtypeStruct((T, B), jnp.bfloat16)
+    for fn, args in [
+        (lambda xp, h, c: lstm_layer_pallas_int8(xp, wq, ws, h, c),
+         (xp, st, st)),
+        (lambda xp, h, c, m: lstm_layer_masked_pallas_int8(
+            xp, wq, ws, h, c, m), (xp, st, st, mask)),
+        (lambda xf, xb, h, c: bilstm_layer_pallas_int8(
+            xf, xb, wq, wq, ws, ws, h, c, h, c), (xp, xp, st, st)),
+    ]:
+        exported = export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        assert len(exported.serialize()) > 0
+
+
 def test_int8_rejects_training_backends():
     from mobileposer_tpu.nn.lstm import LSTMConfig, init_rnn, lstm_forward
     cfg = LSTMConfig(60, 72, 64)
