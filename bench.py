@@ -175,9 +175,8 @@ def main():
     params_q = quantize_params_int8(params_bf)
     xq = {}
     try:
-        states_xq = jax.device_put(
-            net.init_online_state_batched(n_streams, dtype=jnp.bfloat16))
-        dev_xq = max(timed_fetch(run_exact_bf, params_q, states_xq,
+        # states_xbf is reusable: the timed program never threads state
+        dev_xq = max(timed_fetch(run_exact_bf, params_q, states_xbf,
                                  frames_bf, reps=3) - rtt, 1e-9)
         fps_xq = n_streams * n_frames / dev_xq
         result["exact_int8_frames_per_sec"] = round(fps_xq, 1)

@@ -602,7 +602,13 @@ def main(argv=None):
               "nominal_peak_tflops": round(nominal_peak_for(kind) / 1e12, 1),
               "rtt_ms": round(rtt * 1e3, 2), **fp}
     for name in names:
-        result = CONFIGS[name](net, params, rtt)
+        # one failing config (e.g. a chip-specific int8 lowering failure)
+        # must cost its row, not the rest of the matrix or the --out merge
+        try:
+            result = CONFIGS[name](net, params, rtt)
+        except Exception as e:
+            result = {"metric": name,
+                      "error": f"{type(e).__name__}: {e}"[:300]}
         report[name] = result
         print(json.dumps({name: result}), flush=True)
     if args.out:

@@ -346,14 +346,15 @@ def lstm_forward(params_layers, x: jnp.ndarray,
             x_proj = _project_timesteps(inp, p, dtype)
             sidx = li * n_dir + di
             if use_pallas and quantized:
-                # inference-only kernel: no VJP wrapper (int8 has no grad)
+                # inference-only kernel: no VJP wrapper (int8 has no grad).
+                # mask is always non-None here: the full-length pallas
+                # case early-returned via lstm_forward_pallas above.
                 from mobileposer_tpu.ops.lstm_pallas import (
                     lstm_layer_masked_pallas_int8)
-                full_mask = (mask if mask is not None
-                             else jnp.ones((T, B), dtype))
+                assert mask is not None
                 ys, (h_t, c_t) = lstm_layer_masked_pallas_int8(
                     x_proj, p["w_hh"], p["w_hh_scale"],
-                    h0_all[sidx], c0_all[sidx], full_mask)
+                    h0_all[sidx], c0_all[sidx], mask)
             elif use_pallas:
                 ys, (h_t, c_t) = _masked_pallas_diffable(
                     False, x_proj, p["w_hh"], h0_all[sidx], c0_all[sidx],
@@ -391,6 +392,14 @@ def rnn_apply(params: dict, cfg: LSTMConfig, x: jnp.ndarray,
     train=True, matching the reference's `dropout(relu(linear1(x)))`
     placement (rnn.py:22).
     """
+    if train and jnp.dtype(
+            params["lstm"][0]["fwd"]["w_ih"].dtype) == jnp.int8:
+        # catch this at the entry point regardless of backend: with
+        # backend='xla' the int8 scan would otherwise trace fine and
+        # jax.grad would fail later with an obscure integer-dtype error
+        raise ValueError(
+            "int8-quantized params are inference-only (jnp.round has no "
+            "gradient); use float params for training")
     hidden = jax.nn.relu(x @ params["linear1"]["w"] + params["linear1"]["b"])
     if train and cfg.dropout > 0.0:
         assert dropout_rng is not None, "train=True requires dropout_rng"

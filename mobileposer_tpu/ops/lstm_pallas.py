@@ -27,6 +27,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _cell_math(gates, c):
+    """LSTM gate nonlinearity on precomputed f32 gates [B, 4H] (order
+    i, f, g, o — the parity invariant). The single in-kernel gate
+    implementation, shared by every float and int8 kernel below."""
+    H = c.shape[-1]
+    i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+    f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+    c_new = f * c + i * g
+    return o * jnp.tanh(c_new), c_new
+
+
 def _lstm_step_kernel(x_proj_ref, w_hh_ref, h0_ref, c0_ref,
                       ys_ref, h_out_ref, c_out_ref,
                       h_scratch, c_scratch):
@@ -44,13 +57,7 @@ def _lstm_step_kernel(x_proj_ref, w_hh_ref, h0_ref, c0_ref,
     gates = x_proj_ref[0].astype(jnp.float32) + jnp.dot(
         h.astype(x_proj_ref.dtype), w_hh_ref[:],
         preferred_element_type=jnp.float32)
-    H = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
-    f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
+    h_new, c_new = _cell_math(gates, c)
 
     h_scratch[:] = h_new
     c_scratch[:] = c_new
@@ -137,13 +144,7 @@ def _masked_step_kernel(x_ref, w_ref, h0_ref, c0_ref, m_ref,
     gates = x_ref[0].astype(jnp.float32) + jnp.dot(
         h.astype(x_ref.dtype), w_ref[:],
         preferred_element_type=jnp.float32)
-    H = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
-    f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
+    h_new, c_new = _cell_math(gates, c)
 
     m = m_ref[0, 0].astype(jnp.float32)[:, None]
     h_keep = m * h_new + (1.0 - m) * h
@@ -238,17 +239,10 @@ def _bilstm_step_kernel(xf_ref, xb_ref, wf_ref, wb_ref,
 
     def cell(x_ref, w_ref, h_s, c_s):
         h = h_s[:]
-        c = c_s[:]
         gates = x_ref[0].astype(jnp.float32) + jnp.dot(
             h.astype(x_ref.dtype), w_ref[:],
             preferred_element_type=jnp.float32)
-        H = h.shape[-1]
-        i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
-        f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new = _cell_math(gates, c_s[:])
         h_s[:] = h_new
         c_s[:] = c_new
         return h_new, c_new
@@ -325,16 +319,6 @@ def _gates_int8(x_ref, w_ref, s_ref, h):
     from mobileposer_tpu.ops.quant import int8_recurrent_gates
     return (x_ref[0].astype(jnp.float32)
             + int8_recurrent_gates(h, w_ref[:], s_ref[:]))
-
-
-def _cell_math(gates, c):
-    H = c.shape[-1]
-    i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
-    f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
-    c_new = f * c + i * g
-    return o * jnp.tanh(c_new), c_new
 
 
 def _masked_step_kernel_int8(x_ref, w_ref, s_ref, h0_ref, c0_ref, m_ref,

@@ -1,12 +1,17 @@
 """W8A8 int8 quantized inference (ops/quant.py).
 
-The int8 path is an opt-in serving configuration for carry mode: LSTM
-matmuls run int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e).
-Like carry mode itself it must carry a measured accuracy label — these
-tests bound the quantization error at the cell level on random weights
-and at the METRIC level on the committed TRAINED checkpoint fixture, and
-pin the guard rails (exact mode rejects quantized params; bf16 casting
-must not destroy int8 kernels)."""
+The int8 path is an opt-in serving configuration for BOTH streaming
+modes: LSTM matmuls run int8 x int8 -> int32 on the MXU (2x the bf16
+rate on v5e) — carry mode through the quantized cell step (pure XLA),
+exact mode through int8 input projections + the int8 Pallas window
+kernels (nn/lstm.py routing). Each quantized config must carry a
+measured accuracy label — these tests bound the quantization error at
+the cell/forward level on random weights and at the METRIC level on the
+committed TRAINED checkpoint fixture for both modes, pin the kernels
+against the XLA int8 scan (interpret mode) and their Mosaic TPU
+lowering (jax.export), and pin the guard rails (training backends
+reject quantized params; exact+int8 cannot shard over a mesh; bf16
+casting must not destroy int8 kernels)."""
 
 import os
 
