@@ -47,10 +47,25 @@ def main(argv=None) -> None:
                              "semantics or carry-mode streaming — the "
                              "parity-day A/B for the approximation's "
                              "accuracy cost (models/streaming.py)")
+    parser.add_argument("--int8", action="store_true",
+                        help="evaluate on W8A8-quantized LSTM matmuls "
+                             "(ops/quant.py) — scores what an int8 "
+                             "deployment would serve; composes with "
+                             "--bf16 and both --online-mode values")
     args = parser.parse_args(argv)
 
     body = ParametricModel.from_file_or_synthetic(C.paths.smpl_file)
     params = load_model(args.model)
+    if args.int8:
+        from mobileposer_tpu.ops.quant import quantize_params_int8
+        if args.bf16:
+            # match the serving order: cast first so dequant scales stay
+            # f32 and linears/state run bf16 (stream/server.py)
+            import jax.numpy as jnp
+
+            from mobileposer_tpu.nn import cast_params
+            params = cast_params(params, jnp.bfloat16)
+        params = quantize_params_int8(params)
     net = MobilePoserNet(body)
     if args.dataset == "synthetic":
         fixture = C.paths.processed_datasets / "synthetic.pt"

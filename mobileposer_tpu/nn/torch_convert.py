@@ -141,11 +141,18 @@ def _cast_program(dtype_str: str):
     import jax.numpy as jnp
     dtype = jnp.dtype(dtype_str)
 
-    def cast(x):
-        return (x.astype(dtype)
-                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x)
+    _QUANT_SCALE_KEYS = ("w_ih_scale", "w_hh_scale")
 
-    return jax.jit(lambda t: jax.tree_util.tree_map(cast, t))
+    def cast(path, x):
+        if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return x  # int8 kernels survive the cast (ops/quant.py)
+        # int8 dequant scales stay f32: a bf16 scale would add ~0.4%
+        # multiplicative dequant error on top of the int8 noise itself
+        if any(getattr(k, "key", None) in _QUANT_SCALE_KEYS for k in path):
+            return x
+        return x.astype(dtype)
+
+    return jax.jit(lambda t: jax.tree_util.tree_map_with_path(cast, t))
 
 
 def cast_params(params, dtype):

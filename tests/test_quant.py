@@ -102,12 +102,17 @@ def test_quantize_params_structure_and_cast_interplay():
                 assert d["w_hh"].dtype == np.int8
                 assert d["w_ih_scale"].dtype == np.float32
                 assert "b_ih" not in d and "b" in d
-    # cast_params only touches float leaves: int8 kernels survive a bf16
-    # cast (the documented order is cast-then-quantize, but a stray cast
-    # must not silently dequantize the model)
+    # cast_params preserves quantization state: int8 kernels survive a
+    # bf16 cast AND the f32 dequant scales do too (a bf16 scale would add
+    # ~0.4% multiplicative dequant error on every matmul), while ordinary
+    # float leaves (linears) cast as requested
     pq_bf = jax.device_get(cast_params(pq, jnp.bfloat16))
     d = pq_bf["joints"]["lstm"][0]["fwd"]
     assert np.asarray(d["w_ih"]).dtype == np.int8
+    assert jnp.dtype(d["w_ih_scale"].dtype) == jnp.float32
+    assert jnp.dtype(d["w_hh_scale"].dtype) == jnp.float32
+    assert jnp.dtype(
+        pq_bf["joints"]["linear1"]["w"].dtype) == jnp.bfloat16
 
 
 def test_server_quantize_guards():
