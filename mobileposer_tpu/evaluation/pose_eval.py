@@ -244,9 +244,10 @@ def evaluate_pose(net: MobilePoserNet, params: dict, dataset,
 
     offline=False skips the offline pass and its metrics entirely
     (requires online=True and evaluate_tran=False — translation drift is
-    an offline metric). This is how int8-quantized params are evaluated:
-    they only run through carry mode (ops/quant.py), so the offline
-    windowed forward must not be traced on them.
+    an offline metric). Useful when only the ONLINE serving config is
+    being labelled (e.g. the quantized legs of scripts/carry_ab.py);
+    int8-quantized params themselves trace through every path — offline,
+    exact and carry (ops/quant.py + the nn/lstm.py int8 routing).
 
     batch_sequences=True (default) groups sequences by padded length and
     runs both protocols batched — N sequences per group cost ~one dispatch.
