@@ -127,12 +127,17 @@ def synthesize_stream_frames(body_model, aa: np.ndarray, tran: np.ndarray,
 
 def make_window_stepper(net, params, mode: str):
     """Jitted (state, frames_w [W,S,60], aa_w [W,S,24,3]) ->
-    (state, sip_deg [S], pos_cm [S]).
+    (state, sip_deg [S], pos_cm [S], tran_p [W,S,3]).
 
     Streams one window with the carried state and computes the windowed
     metrics against GT on device: SIP = geodesic global-rotation error at
     the EVAL_JOINT_MASK joints (deg, reference evaluate.py:18), pos =
-    root-aligned joint position error over all 24 joints (cm).
+    root-aligned joint position error over all 24 joints (cm). The
+    predicted root trajectory is also returned (device-resident; the
+    caller batches the fetch) for the 1-7 m translation-drift windows —
+    the one output a long-lived stream ACCUMULATES (the fusion anchors
+    never reset, models/streaming.py), so it is the most plausibly
+    age-sensitive metric.
     """
     body = net.body_model
     mask = jnp.asarray(_MASK)
@@ -140,10 +145,10 @@ def make_window_stepper(net, params, mode: str):
     @jax.jit
     def step(state, frames_w, aa_w):
         if mode == "exact":
-            (pose, _, _, _), state = net.forward_online_sequence_batched(
+            (pose, _, tran_p, _), state = net.forward_online_sequence_batched(
                 params, state, frames_w)
         elif mode == "carry":
-            (pose, _, _, _), state = net.forward_carry_sequence_batched(
+            (pose, _, tran_p, _), state = net.forward_carry_sequence_batched(
                 params, state, frames_w)
         else:
             raise ValueError(f"unknown mode {mode!r}")
@@ -162,18 +167,26 @@ def make_window_stepper(net, params, mode: str):
         off = gt_j[:, :1] - pr_j[:, :1]
         pe = jnp.linalg.norm(pr_j + off - gt_j, axis=-1) * 100.0
         pos = pe.reshape(W, S, 24).mean(axis=(0, 2))
-        return state, sip, pos
+        return state, sip, pos, tran_p.astype(jnp.float32)
 
     return step
 
 
 def windowed_stream_metrics(net, params, frames: jnp.ndarray, aa: np.ndarray,
                             mode: str, window: int,
-                            dtype=jnp.float32) -> dict:
+                            dtype=jnp.float32,
+                            tran_gt: Optional[np.ndarray] = None) -> dict:
     """Stream [N,S,60] frames through `mode` in N//window windows with the
     state carried across windows; returns per-window metric curves.
 
-    Returns {"sip_deg": [n_windows, S], "pos_cm": [n_windows, S]} numpy.
+    Returns {"sip_deg": [n_windows, S], "pos_cm": [n_windows, S]} numpy;
+    with `tran_gt` ([N, S, 3] GT root trajectory, the second output of
+    make_stream_motion) it adds the reference's 1-7 m translation-drift
+    windows (evaluate.py:66-92 semantics via pose_eval.translation_drift)
+    PER STREAM-AGE WINDOW: "tran_drift_m" [n_windows, S] is each window's
+    mean normalized drift over the 1-7 m window sizes, and
+    "tran_drift_per_w" maps each window size to its [n_windows]
+    stream-mean curve.
     """
     N, S = frames.shape[:2]
     n_windows = N // window
@@ -182,14 +195,37 @@ def windowed_stream_metrics(net, params, frames: jnp.ndarray, aa: np.ndarray,
     else:
         state = jax.device_put(net.init_carry_state_batched(S, dtype=dtype))
     step = make_window_stepper(net, params, mode)
-    sips, poss = [], []
+    sips, poss, trans = [], [], []
     for w in range(n_windows):
         sl = slice(w * window, (w + 1) * window)
-        state, sip, pos = step(state, frames[sl],
-                               jnp.asarray(aa[sl]))
+        state, sip, pos, tran_p = step(state, frames[sl],
+                                       jnp.asarray(aa[sl]))
         sips.append(sip)
         poss.append(pos)
+        if tran_gt is not None:
+            trans.append(tran_p)
     # one batched fetch for the whole curve (per-window fetches pay a
     # transport round trip each over tunneled devices)
-    sips, poss = jax.device_get((sips, poss))
-    return {"sip_deg": np.asarray(sips), "pos_cm": np.asarray(poss)}
+    sips, poss, trans = jax.device_get((sips, poss, trans))
+    out = {"sip_deg": np.asarray(sips), "pos_cm": np.asarray(poss)}
+    if tran_gt is not None:
+        from mobileposer_tpu.evaluation.pose_eval import translation_drift
+        w_sizes = range(1, 8)
+        drift = np.full((n_windows, S), np.nan, np.float32)
+        per_w = {w: np.full(n_windows, np.nan, np.float32) for w in w_sizes}
+        for wi in range(n_windows):
+            sl = slice(wi * window, (wi + 1) * window)
+            per_w_acc = {w: [] for w in w_sizes}
+            for s in range(S):
+                d = translation_drift(trans[wi][:, s], tran_gt[sl][:, s],
+                                      window_sizes=w_sizes)
+                if d:
+                    drift[wi, s] = float(np.mean(list(d.values())))
+                for w, v in d.items():
+                    per_w_acc[w].append(v)
+            for w in w_sizes:
+                if per_w_acc[w]:
+                    per_w[w][wi] = float(np.mean(per_w_acc[w]))
+        out["tran_drift_m"] = drift
+        out["tran_drift_per_w"] = per_w
+    return out

@@ -58,6 +58,15 @@ def trio_apply(params: dict, x132_tm: jnp.ndarray,
     `module_apply(..., time_major=True)` calls.
     """
     pp, pf, pv = params["poser"], params["footcontact"], params["velocity"]
+    from mobileposer_tpu.ops.quant import is_quantized
+    if any(is_quantized(m["lstm"][0]["fwd"]) for m in (pp, pf, pv)):
+        # quantized direction dicts pre-sum b_ih+b_hh into 'b' and hold
+        # int8 kernels — the multicell row projections below would die
+        # with an opaque KeyError; route int8 through backend='auto'
+        # (ops/lstm_pallas *_int8) or carry mode instead
+        raise ValueError(
+            "backend='fused' (trio_apply) does not support int8-quantized "
+            "params; use backend='auto' exact serving or carry mode")
     T, B, _ = x132_tm.shape
     zeros = lambda h: jnp.zeros((B, h), x132_tm.dtype)
 

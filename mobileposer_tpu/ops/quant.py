@@ -92,16 +92,31 @@ def quantize_params_int8(params: dict) -> dict:
     # ONE batched fetch if the tree lives on a device: per-leaf np.asarray
     # pays a transport round trip PER LEAF over tunneled hosts (CLAUDE.md)
     params = jax.device_get(params)
-    if "lstm" in params:  # single module
-        out = dict(params)
-        out["lstm"] = [
-            {d: quantize_lstm_direction(layer[d]) for d in layer}
-            for layer in params["lstm"]
-        ]
-        return out
-    return {name: quantize_params_int8(mod) if isinstance(mod, dict)
-            and "lstm" in mod else mod
-            for name, mod in params.items()}
+
+    def rec(tree: dict):
+        if "lstm" in tree:  # a module dict
+            out = dict(tree)
+            out["lstm"] = [
+                {d: quantize_lstm_direction(layer[d]) for d in layer}
+                for layer in tree["lstm"]
+            ]
+            return out, 1
+        out, n = {}, 0
+        for name, v in tree.items():
+            if isinstance(v, dict):
+                out[name], k = rec(v)
+                n += k
+            else:
+                out[name] = v
+        return out, n
+
+    out, n_stacks = rec(params)
+    if n_stacks == 0:
+        raise ValueError(
+            "quantize_params_int8: no LSTM stack found anywhere in the "
+            "params tree — a layout change would otherwise yield a "
+            "'quantized' tree that still runs float matmuls")
+    return out
 
 
 def is_quantized(p: dict) -> bool:

@@ -138,15 +138,14 @@ class LivePoser:
         # interrupt escapes run() itself (e.g. lands in stop_reading)
         self.last_recording = recorded
 
-        def deliver(fetched, frame):
+        def deliver(fetched, frame, record_only=False):
             """Send one frame's results to every consumer. Raises
-            StopIteration when the viewer asks to close."""
+            StopIteration when the viewer asks to close. Recording runs
+            FIRST (it cannot raise StopIteration), so a frame whose viewer
+            delivery closes the window is still recorded; record_only=True
+            skips the viewer/unity delivery entirely (used to flush the
+            in-flight pipelined frame when the viewer closes)."""
             quat1, acc1, pose, joints, tran, contact = frame
-            if unity is not None:
-                unity.send(np.asarray(fetched["aa"]),
-                           np.asarray(fetched["tran"]))
-            if on_frame is not None:
-                on_frame(pose, fetched["joints"], tran, contact)
             if recorded is not None:
                 # reference dev-data schema (live_demo.py:266-275):
                 # 'acc'/'ori' are CALIBRATED global accel + rotation
@@ -160,6 +159,13 @@ class LivePoser:
                 recorded["raw_ori"].append(quat1)
                 recorded["pose"].append(np.asarray(fetched["pose"]))
                 recorded["tran"].append(np.asarray(fetched["tran"]))
+            if record_only:
+                return
+            if unity is not None:
+                unity.send(np.asarray(fetched["aa"]),
+                           np.asarray(fetched["tran"]))
+            if on_frame is not None:
+                on_frame(pose, fetched["joints"], tran, contact)
 
         pending = None                       # (need futures, frame snapshot)
         t0 = time.time()
@@ -189,7 +195,17 @@ class LivePoser:
                     try:
                         if pipelined:
                             # dispatch first, then pay the fetch RTT for the
-                            # PREVIOUS frame while this one computes
+                            # PREVIOUS frame while this one computes; start
+                            # this frame's D2H copy NOW (non-blocking) so
+                            # next tick's device_get consumes an
+                            # already-issued transfer instead of paying a
+                            # fresh request round trip (stream/server.py
+                            # does the same for the serving tick)
+                            for a in need.values():
+                                try:
+                                    a.copy_to_host_async()
+                                except (AttributeError, RuntimeError):
+                                    break
                             prev, pending = pending, (need, frame)
                             if prev is not None:
                                 deliver(jax.device_get(prev[0]), prev[1])
@@ -197,8 +213,15 @@ class LivePoser:
                             deliver(jax.device_get(need) if need else {},
                                     frame)
                     except StopIteration:
+                        # viewer window closed: clean stop — but "recording
+                        # keeps every frame" applies to the in-flight
+                        # pipelined frame too, so record it without
+                        # viewer/unity delivery
+                        if pipelined and pending is not None:
+                            deliver(jax.device_get(pending[0]), pending[1],
+                                    record_only=True)
                         pending = None
-                        break          # viewer window closed: clean stop
+                        break
                     if debug:
                         print(f"\rSensor FPS {self.imu_set.clock.get_fps():5.1f}"
                               f"  Output FPS {clock.get_fps():5.1f}", end="")

@@ -78,21 +78,20 @@ class PoseServer:
 
         mesh: optional 1-D `jax.sharding.Mesh` — the stream slots are
         sharded over its data axis and the parameters replicated, so one
-        server scales a serving fleet across every local chip (the
-        per-stream forward has no cross-stream ops, so GSPMD inserts no
-        collectives; replies agree with single-device to <=1e-4,
-        test-pinned — per-shard tiling can move low-order bits)."""
+        server scales a serving fleet across every local chip. Carry mode
+        partitions via GSPMD (pure XLA); exact mode uses an explicitly-
+        partitioned `jax.shard_map` step so the Pallas window kernels
+        (float AND int8 — pallas_call has no GSPMD partitioning rule) run
+        per-device on local slots, the same pattern as the trainer's
+        shard_map DP step. The per-stream forward has no cross-stream ops,
+        so neither path inserts collectives; replies agree with
+        single-device to <=1e-4, test-pinned — per-shard tiling can move
+        low-order bits."""
         self.net = net
         self.mesh = mesh
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize {quantize!r}")
         if quantize == "int8":
-            if mode == "exact" and mesh is not None and mesh.devices.size > 1:
-                raise ValueError(
-                    "quantize='int8' with mode='exact' cannot shard over a "
-                    "multi-device mesh: the int8 window kernels are "
-                    "pallas_calls, which have no GSPMD partitioning rule — "
-                    "use mode='carry' (pure XLA) for sharded int8 fleets")
             from mobileposer_tpu.ops.quant import quantize_params_int8
             params = quantize_params_int8(params)
         self.quantize = quantize
@@ -120,7 +119,8 @@ class PoseServer:
         # first FLOAT leaf: quantized params interleave int8 kernels with
         # float linears/scales, and the streaming state must be float
         self.dtype = next(
-            (jnp.dtype(leaf.dtype) for leaf in jax.tree_util.tree_leaves(params)
+            (jnp.dtype(getattr(leaf, "dtype", np.float32))
+             for leaf in jax.tree_util.tree_leaves(params)
              if jnp.issubdtype(jnp.dtype(getattr(leaf, "dtype", np.float32)),
                                jnp.floating)), jnp.dtype(jnp.float32))
 
@@ -171,7 +171,30 @@ class PoseServer:
         else:
             self.states = net.init_online_state_batched(max_streams,
                                                         dtype=self.dtype)
-            self._step = jax.jit(net.forward_online_batched)
+            if mesh is not None and mesh.devices.size > 1:
+                # Explicitly-partitioned step (jax.shard_map): each device
+                # runs the WHOLE per-shard forward on its local slots, so
+                # the Pallas window kernels (float and int8 — pallas_call
+                # has no GSPMD partitioning rule) compose with multi-chip
+                # exact serving exactly like the trainer's
+                # make_shard_map_train_step composes them with DP training.
+                # The per-stream forward has no cross-stream ops, so there
+                # are no collectives and replies match single-device.
+                from jax.sharding import PartitionSpec
+
+                from mobileposer_tpu.parallel.mesh import DATA_AXIS
+                axes = type(self.states).STREAM_AXES
+                state_spec = jax.tree_util.tree_map(
+                    lambda ax: PartitionSpec(*([None] * ax + [DATA_AXIS])),
+                    axes)
+                out_spec = ((PartitionSpec(DATA_AXIS),) * 4, state_spec)
+                self._step = jax.jit(jax.shard_map(
+                    net.forward_online_batched, mesh=mesh,
+                    in_specs=(PartitionSpec(), state_spec,
+                              PartitionSpec(DATA_AXIS)),
+                    out_specs=out_spec, check_vma=False))
+            else:
+                self._step = jax.jit(net.forward_online_batched)
             self._reset_fn = jax.jit(lambda st, slot: st._replace(
                 imu=st.imu.at[slot].set(0.0),
                 initialized=st.initialized.at[slot].set(False),
@@ -400,7 +423,18 @@ class PoseServer:
         if self.pipelined:
             # jax dispatch is async: `outs` are futures; the fetcher thread
             # pays the transport round trip while this thread starts the
-            # next tick
+            # next tick. Start the D2H copy NOW (non-blocking): the
+            # fetcher's device_get then consumes an already-issued
+            # transfer instead of paying a fresh request round trip per
+            # tick — with a serial fetcher over a ~30 ms-RTT tunnel that
+            # request RTT alone exceeded the 33 ms tick budget (measured
+            # fetch p50 47.6 ms -> sustained 25.6 Hz at 256 streams);
+            # async-issued copies from successive ticks overlap in flight.
+            for a in outs:
+                try:
+                    a.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    break                    # backend without async copy
             self._enqueue_replies(outs, snapshot)
             sent = len(snapshot[0])
         else:

@@ -72,7 +72,7 @@ def main(argv=None):
     for mode in ("exact", "carry"):
         t0 = time.time()
         curves[mode] = windowed_stream_metrics(net, params, frames, aa,
-                                               mode, W)
+                                               mode, W, tran_gt=tran)
         print(f"{mode}: {N * S} frames in {time.time() - t0:.1f}s", flush=True)
 
     n_win = curves["exact"]["sip_deg"].shape[0]
@@ -83,9 +83,18 @@ def main(argv=None):
     pos_c = curves["carry"]["pos_cm"].mean(axis=1)
     gap_sip = sip_c - sip_e
     gap_pos = pos_c - pos_e
+    # translation drift (reference evaluate.py:66-92 semantics) per
+    # stream-age window: the fusion anchors never reset, so the root
+    # trajectory is the one output a long-lived stream accumulates
+    drift_e = np.nanmean(curves["exact"]["tran_drift_m"], axis=1)
+    drift_c = np.nanmean(curves["carry"]["tran_drift_m"], axis=1)
+    gap_drift = drift_c - drift_e
+
     q = max(n_win // 4, 1)                 # quarter of the horizon
     early_sip, late_sip = gap_sip[:q].mean(), gap_sip[-q:].mean()
     early_pos, late_pos = gap_pos[:q].mean(), gap_pos[-q:].mean()
+    early_dr = float(np.nanmean(gap_drift[:q]))
+    late_dr = float(np.nanmean(gap_drift[-q:]))
 
     # per-stream late-minus-early spread: drift must hold per stream, not
     # just on the mean
@@ -103,6 +112,14 @@ def main(argv=None):
         "carry_sip_deg": np.round(sip_c, 4).tolist(),
         "exact_pos_cm": np.round(pos_e, 4).tolist(),
         "carry_pos_cm": np.round(pos_c, 4).tolist(),
+        "exact_tran_drift_m_per_window_m": np.round(drift_e, 4).tolist(),
+        "carry_tran_drift_m_per_window_m": np.round(drift_c, 4).tolist(),
+        "tran_drift_per_w_exact": {
+            str(w): np.round(v, 4).tolist()
+            for w, v in curves["exact"]["tran_drift_per_w"].items()},
+        "tran_drift_per_w_carry": {
+            str(w): np.round(v, 4).tolist()
+            for w, v in curves["carry"]["tran_drift_per_w"].items()},
         "gap_summary": {
             "sip_gap_first_quarter_deg": round(float(early_sip), 4),
             "sip_gap_last_quarter_deg": round(float(late_sip), 4),
@@ -112,6 +129,9 @@ def main(argv=None):
             "pos_drift_cm": round(float(late_pos - early_pos), 4),
             "sip_drift_per_stream_max_deg": round(
                 float(per_stream_drift.max()), 4),
+            "tran_drift_gap_first_quarter_m": round(early_dr, 4),
+            "tran_drift_gap_last_quarter_m": round(late_dr, 4),
+            "tran_drift_drift_m": round(late_dr - early_dr, 4),
         },
     }
     print(json.dumps(result["gap_summary"]), flush=True)

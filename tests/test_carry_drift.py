@@ -50,7 +50,7 @@ def curves():
     out = {}
     for mode in ("exact", "carry"):
         out[mode] = windowed_stream_metrics(net, params, frames, aa,
-                                            mode, _WINDOW)
+                                            mode, _WINDOW, tran_gt=tran)
     return out
 
 
@@ -116,6 +116,28 @@ def test_carry_gap_does_not_grow_with_stream_age(curves):
     assert late <= early + 1.0, (
         f"carry SIP gap grew with stream age: early {early:.3f} deg -> "
         f"late {late:.3f} deg")
+
+
+def test_tran_drift_gap_does_not_grow_with_stream_age(curves):
+    """Translation is the one output a long-lived stream ACCUMULATES (the
+    fusion anchors never reset), so the 1-7 m drift-window metric
+    (reference evaluate.py:66-92) is the most plausibly age-sensitive —
+    bound its carry-vs-exact gap late vs early like the SIP bound."""
+    for mode in ("exact", "carry"):
+        d = curves[mode]["tran_drift_m"]
+        assert d.shape == curves[mode]["sip_deg"].shape
+        # at least most windows must have produced 1-7 m travel windows
+        assert np.isfinite(d).mean() > 0.5, mode
+    gap = (np.nanmean(curves["carry"]["tran_drift_m"], axis=1)
+           - np.nanmean(curves["exact"]["tran_drift_m"], axis=1))
+    n = gap.shape[0]
+    early = np.nanmean(gap[:n // 3])
+    late = np.nanmean(gap[-n // 3:])
+    # normalized drift is m-per-window-meter (O(0.1) on the trained
+    # fixture); 0.5 margin absorbs window noise, catches real divergence
+    assert late <= early + 0.5, (
+        f"carry tran drift gap grew with stream age: early {early:.3f} -> "
+        f"late {late:.3f} m/m")
 
 
 def test_carry_metrics_stay_finite_and_bounded(curves):

@@ -32,6 +32,24 @@ def test_dryrun_self_provisions_via_subprocess(monkeypatch):
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_dryrun_never_initializes_backend_in_parent(monkeypatch):
+    # Outage regression (MULTICHIP_r04 rc=124): with the axon tunnel down,
+    # the first backend initialization in the parent process blocks forever.
+    # Simulate an uninitialized-JAX parent with a hanging plugin: any call
+    # that would initialize the default backend fails the test; the dry run
+    # must go straight to the hermetic subprocess.
+    from jax._src import xla_bridge
+    monkeypatch.setattr(xla_bridge, "backends_are_initialized", lambda: False)
+
+    def _would_hang(*a, **k):
+        raise AssertionError(
+            "dryrun_multichip initialized the default backend in-parent")
+
+    monkeypatch.setattr(jax, "default_backend", _would_hang)
+    monkeypatch.setattr(jax, "devices", _would_hang)
+    __graft_entry__.dryrun_multichip(8)
+
+
 def test_dryrun_subprocess_propagates_failure(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(sys, "executable", "/nonexistent/python")

@@ -116,9 +116,9 @@ def test_quantize_params_structure_and_cast_interplay():
 
 
 def test_server_quantize_guards():
-    """exact + int8 is a supported single-device configuration (the int8
-    window kernels); a multi-device mesh with exact+int8 is rejected
-    (pallas_call has no GSPMD rule), and unknown schemes fail loudly."""
+    """exact + int8 is a supported configuration — single-device (int8
+    window kernels) AND sharded (the shard_map exact step runs the kernels
+    per-device); unknown schemes fail loudly."""
     from mobileposer_tpu.kinematics import ParametricModel
     from mobileposer_tpu.models import MobilePoserNet, init_all_modules
     from mobileposer_tpu.parallel import make_mesh
@@ -132,9 +132,10 @@ def test_server_quantize_guards():
         PoseServer(net, params, port=0, mode="carry", quantize="fp4")
     mesh = make_mesh()
     if mesh.devices.size > 1:
-        with pytest.raises(ValueError, match="GSPMD"):
-            PoseServer(net, params, port=0, mode="exact", quantize="int8",
-                       max_streams=mesh.devices.size, mesh=mesh)
+        s2 = PoseServer(net, params, port=0, mode="exact", quantize="int8",
+                        max_streams=mesh.devices.size, mesh=mesh)
+        s2.sock.close()
+        assert s2.quantize == "int8" and s2.mesh is mesh
 
 
 def test_int8_exact_lstm_forward_close_to_f32():

@@ -301,6 +301,48 @@ def test_sharded_server_matches_unsharded():
                                atol=1e-4)
 
 
+def test_sharded_int8_exact_server_matches_unsharded():
+    """exact + int8 + mesh: the shard_map exact step runs the int8 path
+    per-device on local slots, so a sharded int8 fleet replies identically
+    to the single-device int8 server (on CPU both route through the XLA
+    int8 scan; on TPU the per-device program is the int8 Pallas kernels,
+    which agree bit-for-bit — tests/test_quant.py)."""
+    from mobileposer_tpu.parallel import make_mesh
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    rng = np.random.RandomState(5)
+    frames = [rng.randn(60).astype(np.float32) * 0.1 for _ in range(3)]
+    replies = {}
+    for name, m in [("single", None), ("sharded", mesh)]:
+        srv = PoseServer(net, params, host="127.0.0.1", port=0,
+                         max_streams=8, tick_hz=240.0, mode="exact",
+                         quantize="int8", mesh=m)
+        thread = threading.Thread(target=srv.run, daemon=True)
+        thread.start()
+        client = PoseClient(stream_id=4, port=srv.port)
+        try:
+            out = []
+            for f in frames:
+                client.send_frame(f)
+                r = None
+                deadline = time.time() + 120          # first tick compiles
+                while r is None and time.time() < deadline:
+                    r = client.recv_pose()
+                assert r is not None, f"{name}: no reply"
+                out.append(np.concatenate(r))
+            replies[name] = np.stack(out)
+        finally:
+            client.close()
+            srv.stop()
+            thread.join(timeout=10)
+            srv.close()
+    np.testing.assert_allclose(replies["sharded"], replies["single"],
+                               atol=1e-4)
+
+
 def test_pipelined_replies_match_synchronous():
     """pipelined=True must change WHEN replies arrive, never WHAT they
     contain: the device program and state chaining are identical, so a
