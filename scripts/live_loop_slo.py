@@ -1,0 +1,140 @@
+"""Measure the single-user LIVE demo loop rate on the real chip.
+
+The serving SLO (scripts/serving_slo.py) covers the fleet server; this
+covers the reference's interactive semantics — live_demo.py:207-264, a
+single user's 30 fps loop — as implemented by `LivePoser.run`. A
+FrameReplayer feeds aligned frames over loopback UDP at the target rate
+(substituting for real phones, the repo's standard fake-sensor fixture)
+and the loop's `on_frame` consumer timestamps every delivered frame:
+
+  * achieved_fps       — delivered frames / elapsed (the reference prints
+                         this as "Output FPS", live_demo.py:262-264);
+  * interval_ms_p50/p99 — frame-to-frame delivery spacing vs the budget
+                         (33.3 ms at 30 fps);
+  * pipelined          — pipelined=True defers each frame's device->host
+                         fetch by one tick so the transport RTT overlaps
+                         the next frame's compute (stream/live.py); the
+                         sync A/B pays it inline.
+
+Usage:
+    python scripts/live_loop_slo.py [--seconds 15] [--fps 30] [--sync]
+        [--out benchmarks/report_v5e1.json]
+
+With --out, the result merges into the report under
+"live_loop_<pipelined|sync>".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _free_port() -> int:
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seconds", type=float, default=15.0)
+    parser.add_argument("--fps", type=int, default=30)
+    parser.add_argument("--sync", action="store_true",
+                        help="synchronous delivery (fetch inline) for A/B")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
+    import jax
+
+    from mobileposer_tpu.kinematics import ParametricModel
+    from mobileposer_tpu.models import MobilePoserNet, init_all_modules
+    from mobileposer_tpu.stream import (FrameReplayer, IMUSet, LivePoser,
+                                        identity_calibration)
+
+    body = ParametricModel.from_file_or_synthetic(None)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+
+    port = _free_port()
+    poser = LivePoser(net, params,
+                      imu_set=IMUSet(imu_host="127.0.0.1", imu_port=port,
+                                     buffer_len=2))
+    poser.set_calibration(identity_calibration())
+
+    # warm the compiles OUTSIDE the timed loop (first jit over the tunnel
+    # is seconds); one step + one fetch covers the loop's whole program
+    t0 = time.time()
+    out = poser.step_frame(np.tile(np.array([1.0, 0, 0, 0]), (5, 1)),
+                           np.zeros((5, 3)))
+    jax.device_get(out)
+    poser.reset()
+    print(f"warmup compile: {time.time() - t0:.1f}s", flush=True)
+
+    # continuous smooth synthetic motion from the replayer (sends for the
+    # whole measurement window plus margin)
+    T = int((args.seconds + 6) * args.fps)
+    rng = np.random.RandomState(7)
+    steps = rng.normal(0, 0.02, (T, 5, 3)).cumsum(axis=0)
+    # small-angle quats around identity, xyzw (FrameReplayer wire layout)
+    quat = np.concatenate([np.sin(steps / 2), np.cos(
+        np.linalg.norm(steps, axis=-1, keepdims=True) / 2)], axis=-1)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    acc = rng.normal(0, 0.05, (T, 5, 3))
+
+    rep = FrameReplayer(port=port)
+    sender = threading.Thread(
+        target=lambda: (time.sleep(0.3), rep.replay(acc, quat, fps=args.fps)),
+        daemon=True)
+    sender.start()
+
+    times: list = []
+    poser.run(duration=args.seconds + 2.0, fps=args.fps,
+              pipelined=not args.sync,
+              on_frame=lambda *a: times.append(time.perf_counter()))
+
+    # drop the leading second (loop start transients) and measure the rest
+    if len(times) < args.fps:
+        raise SystemExit(f"live loop delivered only {len(times)} frames")
+    t_arr = np.asarray(times)
+    t_arr = t_arr[t_arr >= t_arr[0] + 1.0]
+    intervals = np.diff(t_arr) * 1e3
+    achieved = (len(t_arr) - 1) / (t_arr[-1] - t_arr[0])
+
+    result = {
+        "target_fps": args.fps,
+        "pipelined": not args.sync,
+        "seconds": args.seconds,
+        "frames_delivered": int(len(times)),
+        "achieved_fps": round(float(achieved), 2),
+        "interval_ms_p50": round(float(np.percentile(intervals, 50)), 3),
+        "interval_ms_p90": round(float(np.percentile(intervals, 90)), 3),
+        "interval_ms_p99": round(float(np.percentile(intervals, 99)), 3),
+        "budget_ms": round(1e3 / args.fps, 3),
+    }
+    print(json.dumps(result), flush=True)
+
+    if args.out:
+        from benchmarks.reporting import merge_report
+        key = "live_loop_" + ("sync" if args.sync else "pipelined")
+        merge_report(args.out, result, key=key)
+        print(f"report updated: {args.out}", flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()
