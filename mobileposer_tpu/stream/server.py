@@ -227,6 +227,7 @@ class PoseServer:
         # reply pipeline (pipelined=True): tick() enqueues device arrays +
         # a slot/addr snapshot; the fetcher thread device_gets and replies
         self.pipelined = pipelined
+        self._drain_deadline = 2.0       # s of post-stop reply flushing
         self._fetch_q: queue.Queue = queue.Queue(maxsize=8)
         self._fetch_ms = np.zeros(1024, np.float32)
         self._fetch_n = 0
@@ -257,8 +258,30 @@ class PoseServer:
         unhandled exception would kill the thread and convert every
         future reply into a silent drop while tick stats stay green. A
         failed tick's replies are dropped and counted; the loop keeps
-        serving."""
-        while not (self._stop.is_set() and self._fetch_q.empty()):
+        serving.
+
+        Shutdown: after stop() the loop flushes queued replies, but only
+        for a bounded drain window — with a slow device program the queue
+        can hold several seconds of blocking fetches, and a daemon thread
+        still inside device_get when the interpreter tears down PJRT
+        aborts the process (observed: 'terminate called after throwing an
+        instance of' at exit of the int8-exact SLO run). Past the
+        deadline the remainder is dropped and counted."""
+        stop_seen = None
+        while True:
+            if self._stop.is_set():
+                if stop_seen is None:
+                    stop_seen = time.perf_counter()
+                if self._fetch_q.empty():
+                    break
+                if time.perf_counter() - stop_seen > self._drain_deadline:
+                    while True:
+                        try:
+                            self._fetch_q.get_nowait()
+                            self.dropped_replies += 1
+                        except queue.Empty:
+                            break
+                    break
             try:
                 outs, snapshot = self._fetch_q.get(timeout=0.05)
             except queue.Empty:
@@ -511,7 +534,10 @@ class PoseServer:
     def close(self) -> None:
         self._stop.set()
         if self._fetcher is not None and self._fetcher.is_alive():
-            self._fetcher.join(timeout=5)       # flushes queued replies
+            # drain deadline + one in-flight fetch; must outlast the
+            # fetcher's own exit so no thread is left inside PJRT at
+            # interpreter teardown
+            self._fetcher.join(timeout=self._drain_deadline + 8)
         self.sock.close()
 
 
