@@ -239,6 +239,15 @@ def test_nonfinite_frames_dropped():
     good = PoseClient(stream_id=700, port=srv.port)
     bad = PoseClient(stream_id=701, port=srv.port)
     try:
+        # compile-tolerant warmup (the other server tests all have one):
+        # the first tick's jit can take many seconds on a loaded 1-core
+        # host, which would eat every 2 s recv timeout below
+        good.send_frame(rng.randn(60).astype(np.float32) * 0.1)
+        r = None
+        deadline = time.time() + 120
+        while r is None and time.time() < deadline:
+            r = good.recv_pose()
+        assert r is not None, "no reply after warmup/compile window"
         nan_frame = np.full(60, np.nan, np.float32)
         good_replies = 0
         for _ in range(6):
