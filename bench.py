@@ -87,20 +87,55 @@ def main():
     # dispatch per leaf over the tunnel)
     states = jax.device_put(net.init_online_state_batched(n_streams))
 
-    # One dispatch: batch-major streams, scan over frames inside. The
-    # returned scalar folds in every output so the full serving program
-    # (including the poser -> IK -> local-pose path) is executed.
-    @jax.jit
-    def run(params, states, frames):
-        (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
-            params, states, frames)
-        return pose.sum() + joints.sum() + root.sum() + contact.sum()
-
     rng = np.random.RandomState(0)
     frames = jnp.asarray(
         rng.randn(n_frames, n_streams, 60).astype(np.float32) * 0.1)
 
     rtt = rtt_seconds()
+
+    # R chained repetitions of the streaming program in ONE jit region:
+    # the state threads between reps (a real data dependency) and every
+    # rep's outputs fold into the fetched scalar, so nothing can be
+    # elided and RTT jitter amortizes over >= `target` seconds of device
+    # time. This is the fingerprint's calibration lesson applied to the
+    # streaming legs: at 100 frames the carry program ran ~9 ms against a
+    # ~36 ms transport RTT, and the "measured" rate was transport noise —
+    # the 2026-08-18 matrix recorded a carry MFU of 152% of the chip's
+    # own matmul rate, a flagged impossibility.
+    def make_chained(forward, R):
+        @jax.jit
+        def run_chained(params, states, frames):
+            def body(st, _):
+                (pose, joints, root, contact), st2 = forward(
+                    params, st, frames)
+                s = (pose.astype(jnp.float32).sum()
+                     + joints.astype(jnp.float32).sum()
+                     + root.astype(jnp.float32).sum()
+                     + contact.astype(jnp.float32).sum())
+                return st2, s
+            _, sums = jax.lax.scan(body, states, None, length=R)
+            return sums.sum()
+        return run_chained
+
+    def chained_rate(forward, params_, states_, frames_, target=0.4):
+        """frames/sec with >= target device-seconds in the timed region.
+
+        Pilots at R=1; if under target, repeats with R quantized to a
+        power of two (each distinct R is a distinct traced program — the
+        quantization keeps the persistent compile cache reusable)."""
+        per_call = n_streams * n_frames
+        wall = timed_fetch(make_chained(forward, 1), params_, states_,
+                           frames_, reps=3)
+        per = max(wall - rtt, 1e-9)
+        if per >= target:
+            return per_call / per
+        R = 1 << int(np.ceil(np.log2(min(max(target / per, 1.0), 256.0))))
+        wall = timed_fetch(make_chained(forward, R), params_, states_,
+                           frames_, reps=3)
+        return per_call * R / max(wall - rtt, 1e-9)
+
+    def exact_forward(params, st, frames):
+        return net.forward_online_sequence_batched(params, st, frames)
 
     # measured chip-speed fingerprint (calibrated to >=0.5 s of device time
     # — the old 45 ms version was dominated by RTT jitter and read 154-339
@@ -116,9 +151,8 @@ def main():
     def _mfu(fps, fpf):
         return mfu_fields(fps * fpf, chip_tflops=chip_tf, peak=peak)
 
-    wall = timed_fetch(run, params, states, frames)
-    dev = max(wall - rtt, 1e-9)
-    fps = n_streams * n_frames / dev
+    fps = chained_rate(exact_forward, params, states, frames)
+    dev = n_streams * n_frames / fps
 
     flops_per_frame = streaming_flops_per_emitted_frame()
     result = {
@@ -148,18 +182,7 @@ def main():
     states_xbf = jax.device_put(
         net.init_online_state_batched(n_streams, dtype=jnp.bfloat16))
 
-    @jax.jit
-    def run_exact_bf(params, states, frames):
-        (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
-            params, states, frames)
-        return (pose.astype(jnp.float32).sum()
-                + joints.astype(jnp.float32).sum()
-                + root.astype(jnp.float32).sum()
-                + contact.astype(jnp.float32).sum())
-
-    dev_xb = max(timed_fetch(run_exact_bf, params_bf, states_xbf,
-                             frames_bf, reps=3) - rtt, 1e-9)
-    fps_xb = n_streams * n_frames / dev_xb
+    fps_xb = chained_rate(exact_forward, params_bf, states_xbf, frames_bf)
     result["exact_bf16_frames_per_sec"] = round(fps_xb, 1)
     xb = _mfu(fps_xb, flops_per_frame)
     result["exact_bf16_pct_of_peak"] = xb["pct_of_peak"]
@@ -175,10 +198,9 @@ def main():
     params_q = quantize_params_int8(params_bf)
     xq = {}
     try:
-        # states_xbf is reusable: the timed program never threads state
-        dev_xq = max(timed_fetch(run_exact_bf, params_q, states_xbf,
-                                 frames_bf, reps=3) - rtt, 1e-9)
-        fps_xq = n_streams * n_frames / dev_xq
+        # states_xbf is reusable: each rep re-derives it via the chain
+        fps_xq = chained_rate(exact_forward, params_q, states_xbf,
+                              frames_bf)
         result["exact_int8_frames_per_sec"] = round(fps_xq, 1)
         xq = mfu_fields(fps_xq * flops_per_frame, chip_tflops=2.0 * chip_tf,
                         peak=2.0 * peak)
@@ -195,17 +217,10 @@ def main():
     # Reported alongside the exact headline, never as it.
     cstates = jax.device_put(net.init_carry_state_batched(n_streams))
 
-    @jax.jit
-    def run_carry(params, cstates, frames):
-        (pose, joints, root, contact), _ = net.forward_carry_sequence_batched(
-            params, cstates, frames)
-        return pose.sum() + joints.sum() + root.sum() + contact.sum()
-
     from benchmarks.flops import carry_flops_per_emitted_frame
     cflops = carry_flops_per_emitted_frame()
-    dev_c = max(timed_fetch(run_carry, params, cstates, frames,
-                             reps=3) - rtt, 1e-9)
-    fps_c = n_streams * n_frames / dev_c
+    fps_c = chained_rate(net.forward_carry_sequence_batched,
+                         params, cstates, frames)
     result["carry_mode_frames_per_sec"] = round(fps_c, 1)
     cm = _mfu(fps_c, cflops)
     result["carry_mode_pct_of_peak"] = cm["pct_of_peak"]
@@ -216,18 +231,8 @@ def main():
     cstates_bf = jax.device_put(
         net.init_carry_state_batched(n_streams, dtype=jnp.bfloat16))
 
-    @jax.jit
-    def run_carry_bf(params, cstates, frames):
-        (pose, joints, root, contact), _ = net.forward_carry_sequence_batched(
-            params, cstates, frames)
-        return (pose.astype(jnp.float32).sum()
-                + joints.astype(jnp.float32).sum()
-                + root.astype(jnp.float32).sum()
-                + contact.astype(jnp.float32).sum())
-
-    dev_cb = max(timed_fetch(run_carry_bf, params_bf, cstates_bf, frames_bf,
-                             reps=3) - rtt, 1e-9)
-    fps_cb = n_streams * n_frames / dev_cb
+    fps_cb = chained_rate(net.forward_carry_sequence_batched,
+                          params_bf, cstates_bf, frames_bf)
     result["carry_mode_bf16_frames_per_sec"] = round(fps_cb, 1)
     cb = _mfu(fps_cb, cflops)
     result["carry_mode_bf16_pct_of_peak"] = cb["pct_of_peak"]
@@ -242,9 +247,8 @@ def main():
     try:
         cstates_q = jax.device_put(
             net.init_carry_state_batched(n_streams, dtype=jnp.bfloat16))
-        dev_cq = max(timed_fetch(run_carry_bf, params_q, cstates_q,
-                                 frames_bf, reps=3) - rtt, 1e-9)
-        fps_cq = n_streams * n_frames / dev_cq
+        fps_cq = chained_rate(net.forward_carry_sequence_batched,
+                              params_q, cstates_q, frames_bf)
         result["carry_mode_int8_frames_per_sec"] = round(fps_cq, 1)
         cq = mfu_fields(fps_cq * cflops, chip_tflops=2.0 * chip_tf,
                         peak=2.0 * peak)
@@ -260,28 +264,20 @@ def main():
         result["honesty_flag"] = "an MFU exceeds this chip's measured matmul rate"
 
     if run_checks:
+        run1 = make_chained(exact_forward, 1)
         # Linearity: 4x frames must cost ~4x device time (a sublinear ratio
         # means the harness, not the chip, made the number).
         frames4 = jnp.asarray(
             rng.randn(4 * n_frames, n_streams, 60).astype(np.float32) * 0.1)
-        dev4 = max(timed_fetch(run, params, states, frames4) - rtt, 1e-9)
-        result["linearity_x4"] = round(dev4 / dev, 3)
+        dev1 = max(timed_fetch(run1, params, states, frames) - rtt, 1e-9)
+        dev4 = max(timed_fetch(run1, params, states, frames4) - rtt, 1e-9)
+        result["linearity_x4"] = round(dev4 / dev1, 3)
 
-        # Chained repetition: R serialized runs inside one jit region (data
-        # dependency via the accumulated scalar) — agreement with the
-        # per-call number rules out transport/async artifacts.
-        R = 3
-
-        @jax.jit
-        def run_chained(params, states, frames):
-            def body_fn(_, acc):
-                out = run.__wrapped__(params, states, frames + acc * 1e-20)
-                return out
-            return jax.lax.fori_loop(0, R, body_fn, jnp.float32(0.0))
-
-        devR = max(timed_fetch(run_chained, params, states, frames) - rtt,
-                   1e-9)
-        result["chained_per_run_ratio"] = round((devR / R) / dev, 3)
+        # Single-call vs chained agreement: the headline rate came from
+        # the R-chained program; one un-chained call must imply the same
+        # rate to within transport noise (rules out scan/async artifacts).
+        result["chained_per_run_ratio"] = round(
+            (n_streams * n_frames / dev1) / fps, 3)
 
     print(json.dumps(result))
 
