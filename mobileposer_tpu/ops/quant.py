@@ -116,7 +116,14 @@ def quantize_params_int8(params: dict) -> dict:
             "quantize_params_int8: no LSTM stack found anywhere in the "
             "params tree — a layout change would otherwise yield a "
             "'quantized' tree that still runs float matmuls")
-    return out
+    # Return DEVICE-resident arrays (one batched placement): every
+    # in-repo consumer runs inference right after, and a numpy tree
+    # passed to a jitted step re-uploads EVERY leaf on EVERY call — over
+    # a tunneled host that per-leaf transfer storm measured as a 10-20x
+    # serving "slowdown" wrongly attributed to int8 compute (r5 SLO runs;
+    # scripts/int8_microbench.py caught it). Export flows np.asarray the
+    # leaves anyway, which works on device arrays.
+    return jax.device_put(out)
 
 
 def is_quantized(p: dict) -> bool:

@@ -70,7 +70,10 @@ class LivePoser:
     def __init__(self, net: MobilePoserNet, params: dict,
                  imu_set: Optional[IMUSet] = None, combo: str = "lw_rp"):
         self.net = net
-        self.params = params
+        # ONE batched placement: weights loaded from disk are numpy, and a
+        # numpy pytree passed to the jitted step re-uploads every leaf on
+        # every FRAME (CLAUDE.md transfer-batching rule)
+        self.params = jax.device_put(params)
         self.imu_set = imu_set or IMUSet(buffer_len=1)
         self.combo = combo
         self.calibration: Optional[Calibration] = None

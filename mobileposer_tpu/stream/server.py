@@ -102,6 +102,11 @@ class PoseServer:
         if mesh is not None:
             from mobileposer_tpu.parallel import replicate_params
             params = replicate_params(params, mesh)
+        else:
+            # ONE batched placement: weights loaded from disk are numpy,
+            # and a numpy pytree passed to the jitted step re-uploads
+            # every leaf on every tick (CLAUDE.md transfer-batching rule)
+            params = jax.device_put(params)
         self.params = params
         self.max_streams = max_streams
         self.tick_period = 1.0 / tick_hz

@@ -59,57 +59,56 @@ def main(argv=None):
     result = {"streams": S, "frames": N, "rtt_ms": round(rtt * 1e3, 1)}
     rng = np.random.RandomState(0)
 
-    # -- 1. raw matmuls (chained R reps inside one jit region) -------------
-    R = 512
-    for name, (M, K, Nw) in [("proj_132_1024", (S, 132, 1024)),
-                             ("rec_256_1024", (S, 256, 1024))]:
-        x = jnp.asarray(rng.randn(M, K).astype(np.float32))
-        w = rng.randn(K, Nw).astype(np.float32)
-        w_q, w_s = quantize_weight_int8(w)
-        w_qd, w_sd, wd = jnp.asarray(w_q), jnp.asarray(w_s), jnp.asarray(w)
-        w_bf = wd.astype(jnp.bfloat16)
-
-        def chain(step):
+    # -- 1. raw matmuls (pilot-scaled chains: these ops are sub-µs, so the
+    # iteration count must be calibrated until the timed region dwarfs the
+    # transport RTT — a fixed R=512 measured 0.0 µs on the first attempt) -
+    def per_iter_us(step, x, K, target=0.25):
+        def make(R):
             @jax.jit
             def run(x0):
                 def body(_, x):
                     y = step(x)
                     # fold the wide output back to the input shape with a
                     # data dependency so no iteration can be elided
-                    return x0 + y[:, :K] * 1e-6
+                    return x0 + y[:, :K].astype(jnp.float32) * 1e-6
                 return jax.lax.fori_loop(0, R, body, x0).sum()
             return run
+        R = 4096
+        w = timed_fetch(make(R), x, reps=3)
+        per = max(w - rtt, 1e-9) / R
+        if per * R < target:
+            R = 1 << int(np.ceil(np.log2(min(max(target / per, R), 2**22))))
+            w = timed_fetch(make(R), x, reps=3)
+            per = max(w - rtt, 1e-9) / R
+        return round(per * 1e6, 3)
 
-        t_f32 = timed_fetch(chain(lambda x: x @ wd), x, reps=3)
-        t_bf16 = timed_fetch(
-            chain(lambda x: (x.astype(jnp.bfloat16) @ w_bf
-                             ).astype(jnp.float32)), x, reps=3)
-        t_int8 = timed_fetch(chain(lambda x: int8_matmul(x, w_qd, w_sd)),
-                             x, reps=3)
-        t_int8_static = timed_fetch(
-            chain(lambda x: jax.lax.dot_general(
-                dynamic_quantize(x)[0], w_qd,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)),
-            x, reps=3)
-        us = lambda t: round(max(t - rtt, 0.0) / R * 1e6, 2)
-        result[name] = {"f32_us": us(t_f32), "bf16_us": us(t_bf16),
-                        "int8_us": us(t_int8),
-                        "int8_nodq_scale_us": us(t_int8_static)}
+    for name, (M, K, Nw) in [("proj_132_1024", (S, 132, 1024)),
+                             ("rec_256_1024", (S, 256, 1024))]:
+        x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+        w = rng.randn(K, Nw).astype(np.float32)
+        w_q, w_s = quantize_weight_int8(w)
+        w_qd, w_sd, wd = (jax.device_put(jnp.asarray(a))
+                          for a in (w_q, w_s, w))
+        w_bf = wd.astype(jnp.bfloat16)
+        result[name] = {
+            "f32_us": per_iter_us(lambda x: x @ wd, x, K),
+            "bf16_us": per_iter_us(
+                lambda x: x.astype(jnp.bfloat16) @ w_bf, x, K),
+            "int8_us": per_iter_us(
+                lambda x: int8_matmul(x, w_qd, w_sd), x, K),
+            "int8_nodq_scale_us": per_iter_us(
+                lambda x: jax.lax.dot_general(
+                    dynamic_quantize(x)[0], w_qd,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32), x, K),
+        }
         print(name, result[name], flush=True)
 
     # -- 2. dynamic_quantize alone -----------------------------------------
     x = jnp.asarray(rng.randn(S, 256).astype(np.float32))
-
-    @jax.jit
-    def dq_chain(x0):
-        def body(_, x):
-            q, s = dynamic_quantize(x)
-            return x0 + q.astype(jnp.float32) * s * 1e-6
-        return jax.lax.fori_loop(0, R, body, x0).sum()
-
-    result["dynamic_quantize_us"] = round(
-        max(timed_fetch(dq_chain, x, reps=3) - rtt, 0.0) / R * 1e6, 2)
+    result["dynamic_quantize_us"] = per_iter_us(
+        lambda x: dynamic_quantize(x)[0].astype(jnp.float32)
+        * dynamic_quantize(x)[1], x, 256)
     print("dynamic_quantize", result["dynamic_quantize_us"], flush=True)
 
     # -- 3/4. full serving steps: float vs int8 params ---------------------
@@ -120,7 +119,10 @@ def main(argv=None):
     frames = jnp.asarray(rng.randn(N, S, 60).astype(np.float32) * 0.1)
 
     def carry_scalar(params):
-        st = net.init_carry_state_batched(S)
+        # device-resident state: a numpy state tree would re-upload every
+        # leaf per timed call (the very artifact this script caught in the
+        # int8 params, CLAUDE.md transfer-batching rule)
+        st = jax.device_put(net.init_carry_state_batched(S))
 
         @jax.jit
         def run(params, st, frames):
@@ -133,7 +135,7 @@ def main(argv=None):
         return lambda p: run(p, st, frames)
 
     def exact_scalar(params):
-        st = net.init_online_state_batched(S)
+        st = jax.device_put(net.init_online_state_batched(S))
 
         @jax.jit
         def run(params, st, frames):
