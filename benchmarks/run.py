@@ -64,29 +64,85 @@ def _flops_fields(frames_per_sec: float, flops_per_frame: float) -> dict:
                       chip_tflops=_CHIP_TFLOPS)
 
 
+def _chained_stream_rate(forward, params, state, frames, rtt,
+                         per_call_frames, target=0.4):
+    """(frames/sec, spread_dict, R) with >= `target` device-seconds in the
+    timed region.
+
+    The fingerprint's calibration lesson (benchmarks/timing.py) applied to
+    the streaming rows: a 10-120 ms program timed against a ~30-45 ms
+    transport RTT measures RTT jitter, not the chip — the 2026-08-18
+    matrix refresh recorded the carry row at HALF its chained rate and the
+    int8 rows at 1/10th. Chain R repetitions inside ONE jit region with
+    the streaming state threading between reps (a real data dependency)
+    and every rep's outputs folded into the fetched scalar, so nothing is
+    elided and RTT amortizes. Pilots at R=1; R is quantized to a power of
+    two so the persistent compile cache stays reusable across runs."""
+    def make_chained(R):
+        @jax.jit
+        def run(params, state, frames):
+            def body(st, _):
+                (pose, joints, root, contact), st2 = forward(
+                    params, st, frames)
+                s = (pose.astype(jnp.float32).sum()
+                     + joints.astype(jnp.float32).sum()
+                     + root.astype(jnp.float32).sum()
+                     + contact.astype(jnp.float32).sum())
+                return st2, s
+            _, sums = jax.lax.scan(body, state, None, length=R)
+            return sums.sum()
+        return run
+
+    wall, spread = _timed(make_chained(1), params, state, frames, reps=3)
+    per = max(wall - rtt, 1e-9)
+    R = 1
+    if per < target:
+        R = 1 << int(np.ceil(np.log2(min(max(target / per, 1.0), 256.0))))
+        wall, spread = _timed(make_chained(R), params, state, frames,
+                              reps=3)
+    return per_call_frames * R / max(wall - rtt, 1e-9), spread, R
+
+
+def _pilot_scaled_fori(make_run, base_R, rtt, *args, target=0.4):
+    """(seconds-per-iteration, spread_dict, R) for a fori-chained bench:
+    re-times with a power-of-two R if the pilot region ran under `target`
+    device-seconds (same rationale as _chained_stream_rate)."""
+    R = base_R
+    wall, spread = _timed(make_run(R), *args, reps=3)
+    per = max(wall - rtt, 1e-9)
+    if per < target:
+        R = 1 << int(np.ceil(np.log2(
+            min(max(target / per * R, float(R)), 4096.0))))
+        wall, spread = _timed(make_run(R), *args, reps=3)
+        per = max(wall - rtt, 1e-9)
+    return per / R, spread, R
+
+
 def bench_dip_pose_only(net, params, rtt):
     """Config 1: joints+poser offline over DIP-length sequences, chained."""
     from mobileposer_tpu.models import module_apply
     from mobileposer_tpu.models.net import reduced_global_to_full
-    T, R = 1024, 20
+    T = 1024
     imu0 = jnp.asarray(np.random.RandomState(0).randn(T, 60), jnp.float32) * 0.1
 
-    @jax.jit
-    def run(params, imu):
-        def body(_, imu):
-            x = imu[None]
-            joints, _ = module_apply("joints", params["joints"], x,
-                                     backend="auto")
-            xx = jnp.concatenate([joints, x], axis=-1)
-            r6d, _ = module_apply("poser", params["poser"], xx, backend="auto")
-            pose = reduced_global_to_full(r6d.reshape(-1, 96), net.body_model)
-            # chain dependency over ALL outputs so nothing is elided
-            return imu + (pose.sum() + joints.sum()) * 1e-12
-        out = jax.lax.fori_loop(0, R, body, imu)
-        return out.sum()
+    def make_run(R):
+        @jax.jit
+        def run(params, imu):
+            def body(_, imu):
+                x = imu[None]
+                joints, _ = module_apply("joints", params["joints"], x,
+                                         backend="auto")
+                xx = jnp.concatenate([joints, x], axis=-1)
+                r6d, _ = module_apply("poser", params["poser"], xx,
+                                      backend="auto")
+                pose = reduced_global_to_full(r6d.reshape(-1, 96),
+                                              net.body_model)
+                # chain dependency over ALL outputs so nothing is elided
+                return imu + (pose.sum() + joints.sum()) * 1e-12
+            return jax.lax.fori_loop(0, R, body, imu).sum()
+        return run
 
-    wall, spread = _timed(run, params, imu0, reps=3)
-    dt = max(wall - rtt, 1e-9) / R
+    dt, spread, _ = _pilot_scaled_fori(make_run, 20, rtt, params, imu0)
     fps = T / dt
     # B=1 single sequence: the chip is latency-bound (sequential scan over
     # one stream cannot fill the MXU by construction), so this row reports
@@ -107,18 +163,19 @@ def _offline_all_outputs_dep(net, params, imu):
 
 def bench_full_net_offline(net, params, rtt):
     """Config 2: full net + translation fusion, chained on device."""
-    T, R = 1024, 20
+    T = 1024
     imu0 = jnp.asarray(np.random.RandomState(1).randn(T, 60), jnp.float32) * 0.1
 
-    @jax.jit
-    def run(params, imu):
-        def body(_, imu):
-            return imu + _offline_all_outputs_dep(net, params, imu) * 1e-12
-        out = jax.lax.fori_loop(0, R, body, imu)
-        return out.sum()
+    def make_run(R):
+        @jax.jit
+        def run(params, imu):
+            def body(_, imu):
+                return imu + _offline_all_outputs_dep(net, params,
+                                                      imu) * 1e-12
+            return jax.lax.fori_loop(0, R, body, imu).sum()
+        return run
 
-    wall, spread = _timed(run, params, imu0, reps=3)
-    dt = max(wall - rtt, 1e-9) / R
+    dt, spread, _ = _pilot_scaled_fori(make_run, 20, rtt, params, imu0)
     fps = T / dt
     # single-sequence, latency-bound: see bench_dip_pose_only
     return {"metric": "full_net_offline_frames_per_sec", **spread,
@@ -130,17 +187,19 @@ def bench_full_net_offline(net, params, rtt):
 def bench_long_seq_drift(net, params, rtt):
     """Config 3: TotalCapture-style long sequence + drift windows."""
     from mobileposer_tpu.evaluation import translation_drift
-    T, R = 8192, 5
+    T = 8192
     imu0 = jnp.asarray(np.random.RandomState(2).randn(T, 60), jnp.float32) * 0.1
 
-    @jax.jit
-    def run(params, imu):
-        def body(_, imu):
-            return imu + _offline_all_outputs_dep(net, params, imu) * 1e-12
-        return jax.lax.fori_loop(0, R, body, imu).sum()
+    def make_run(R):
+        @jax.jit
+        def run(params, imu):
+            def body(_, imu):
+                return imu + _offline_all_outputs_dep(net, params,
+                                                      imu) * 1e-12
+            return jax.lax.fori_loop(0, R, body, imu).sum()
+        return run
 
-    wall, spread = _timed(run, params, imu0, reps=3)
-    dt = max(wall - rtt, 1e-9) / R
+    dt, spread, _ = _pilot_scaled_fori(make_run, 5, rtt, params, imu0)
     _, _, tran_p, _ = jax.jit(net.forward_offline)(params, imu0)
     tran_t = np.cumsum(np.random.RandomState(3).randn(T, 3) * 0.01, axis=0)
     t0 = time.perf_counter()
@@ -162,12 +221,6 @@ def bench_combo_streaming(net, params, rtt):
     states = jax.tree_util.tree_map(
         jnp.asarray, net.init_online_state_batched(n_streams))
 
-    @jax.jit
-    def run(params, states, frames):
-        (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
-            params, states, frames)
-        return pose.sum() + joints.sum() + root.sum() + contact.sum()
-
     rng = np.random.RandomState(4)
     acc = rng.randn(n_frames, n_streams, 5, 3).astype(np.float32) * 0.1
     ori = np.broadcast_to(np.eye(3, dtype=np.float32),
@@ -176,8 +229,9 @@ def bench_combo_streaming(net, params, rtt):
     frames = jnp.asarray(np.asarray(make_combo_imu(
         jnp.asarray(acc), jnp.asarray(ori), jnp.asarray(masks)[None])))
 
-    wall, spread = _timed(run, params, states, frames, reps=3)
-    fps = n_streams * n_frames / max(wall - rtt, 1e-9)
+    fps, spread, _ = _chained_stream_rate(
+        net.forward_online_sequence_batched, params, states, frames, rtt,
+        n_streams * n_frames)
     return {"metric": "combo_streaming_frames_per_sec", **spread,
             "value": round(fps, 1), "unit": "frames/s",
             "streams": n_streams, "combos": len(COMBO_MASKS),
@@ -204,7 +258,7 @@ def _bench_train_modules(net, rtt, backend, metric):
     from mobileposer_tpu.train import init_train_state, make_optimizer
     from mobileposer_tpu.train.trainer import loss_fn_for
     import optax
-    B, T, R = 256, 125, 10
+    B, T = 256, 125
     batch = _train_batch(B, T, np.random.RandomState(5))
     out, mfu, spreads = {}, {}, {}
     for name in ("joints", "poser", "footcontact", "velocity"):
@@ -214,22 +268,23 @@ def _bench_train_modules(net, rtt, backend, metric):
                               net.body_model if name == "poser" else None,
                               backend=backend)
 
-        @jax.jit
-        def run(params, opt_state, batch, _loss_fn=loss_fn, _opt=opt):
-            def body(i, carry):
-                p, o = carry
-                key = jax.random.fold_in(jax.random.PRNGKey(7), i)
-                loss, grads = jax.value_and_grad(
-                    lambda pp: _loss_fn(pp, batch, key, train=True))(p)
-                updates, o = _opt.update(grads, o, p)
-                p = optax.apply_updates(p, updates)
-                return (p, o)
-            p, o = jax.lax.fori_loop(0, R, body, (params, opt_state))
-            return jax.tree_util.tree_leaves(p)[0].sum()
+        def make_run(R, _loss_fn=loss_fn, _opt=opt):
+            @jax.jit
+            def run(params, opt_state, batch):
+                def body(i, carry):
+                    p, o = carry
+                    key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+                    loss, grads = jax.value_and_grad(
+                        lambda pp: _loss_fn(pp, batch, key, train=True))(p)
+                    updates, o = _opt.update(grads, o, p)
+                    p = optax.apply_updates(p, updates)
+                    return (p, o)
+                p, o = jax.lax.fori_loop(0, R, body, (params, opt_state))
+                return jax.tree_util.tree_leaves(p)[0].sum()
+            return run
 
-        wall, spread = _timed(run, state.params, state.opt_state, batch,
-                              reps=3)
-        dt = max(wall - rtt, 1e-9) / R
+        dt, spread, _ = _pilot_scaled_fori(make_run, 10, rtt, state.params,
+                                           state.opt_state, batch)
         out[name] = round(B / dt, 1)
         mfu[name] = _flops_fields(B / dt * T, training_flops_per_frame(name))
         spreads[name] = spread["wall_spread_pct"]
@@ -266,40 +321,44 @@ def bench_train_concurrent(net, params, rtt):
     from mobileposer_tpu.train.trainer import (MODULE_NAMES, make_optimizer,
                                                loss_fn_for)
     import optax
-    B, T, R = 256, 125, 10
+    B, T = 256, 125
     batch = _train_batch(B, T, np.random.RandomState(5))
     opts = {n: make_optimizer(n, 1e-3) for n in MODULE_NAMES}
     loss_fns = {n: loss_fn_for(n, net.body_model) for n in MODULE_NAMES}
     states = {n: init_train_state(n, jax.random.PRNGKey(0), 1e-3)
               for n in MODULE_NAMES}
 
-    @jax.jit
-    def run(params_all, opt_all, batch):
-        def body(i, carry):
-            ps, os_ = carry
-            key = jax.random.fold_in(jax.random.PRNGKey(7), i)
-            rngs = {n: jax.random.fold_in(key, j)
-                    for j, n in enumerate(MODULE_NAMES)}
+    def make_run(R):
+        @jax.jit
+        def run(params_all, opt_all, batch):
+            def body(i, carry):
+                ps, os_ = carry
+                key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+                rngs = {n: jax.random.fold_in(key, j)
+                        for j, n in enumerate(MODULE_NAMES)}
 
-            def compute(ps):
-                return sum(loss_fns[n](ps[n], batch, rngs[n], train=True)
-                           for n in MODULE_NAMES)
+                def compute(ps):
+                    return sum(loss_fns[n](ps[n], batch, rngs[n],
+                                           train=True)
+                               for n in MODULE_NAMES)
 
-            _, grads = jax.value_and_grad(compute)(ps)
-            new_ps, new_os = {}, {}
-            for n in MODULE_NAMES:
-                updates, new_os[n] = opts[n].update(grads[n], os_[n], ps[n])
-                new_ps[n] = optax.apply_updates(ps[n], updates)
-            return (new_ps, new_os)
-        ps, _ = jax.lax.fori_loop(
-            0, R, body, (params_all, opt_all))
-        return sum(jax.tree_util.tree_leaves(ps[n])[0].sum()
-                   for n in MODULE_NAMES)
+                _, grads = jax.value_and_grad(compute)(ps)
+                new_ps, new_os = {}, {}
+                for n in MODULE_NAMES:
+                    updates, new_os[n] = opts[n].update(grads[n], os_[n],
+                                                        ps[n])
+                    new_ps[n] = optax.apply_updates(ps[n], updates)
+                return (new_ps, new_os)
+            ps, _ = jax.lax.fori_loop(
+                0, R, body, (params_all, opt_all))
+            return sum(jax.tree_util.tree_leaves(ps[n])[0].sum()
+                       for n in MODULE_NAMES)
+        return run
 
     params_all = {n: states[n].params for n in MODULE_NAMES}
     opt_all = {n: states[n].opt_state for n in MODULE_NAMES}
-    wall, spread = _timed(run, params_all, opt_all, batch, reps=3)
-    dt = max(wall - rtt, 1e-9) / R
+    dt, spread, _ = _pilot_scaled_fori(make_run, 10, rtt, params_all,
+                                       opt_all, batch)
     total_flops = T * sum(training_flops_per_frame(n) for n in MODULE_NAMES)
     return {"metric": "train_concurrent_windows_per_sec",
             "value": round(B / dt, 1), **spread,
@@ -316,16 +375,11 @@ def bench_carry_streaming(net, params, rtt):
     state = jax.tree_util.tree_map(
         jnp.asarray, net.init_carry_state_batched(S))
 
-    @jax.jit
-    def run(params, state, frames):
-        (pose, joints, root, contact), _ = net.forward_carry_sequence_batched(
-            params, state, frames)
-        return pose.sum() + joints.sum() + root.sum() + contact.sum()
-
     frames = jnp.asarray(
         np.random.RandomState(7).randn(N, S, 60).astype(np.float32) * 0.1)
-    wall, spread = _timed(run, params, state, frames, reps=3)
-    fps = S * N / max(wall - rtt, 1e-9)
+    fps, spread, _ = _chained_stream_rate(
+        net.forward_carry_sequence_batched, params, state, frames, rtt,
+        S * N)
 
     # bf16 weights + state + frames: carry mode is VPU/bandwidth-bound, so
     # bf16 nearly doubles it (measured 1.74x) — unlike the exact path
@@ -334,18 +388,9 @@ def bench_carry_streaming(net, params, rtt):
     state_bf = jax.tree_util.tree_map(
         jnp.asarray, net.init_carry_state_batched(S, dtype=jnp.bfloat16))
 
-    @jax.jit
-    def run_bf(params, state, frames):
-        (pose, joints, root, contact), _ = net.forward_carry_sequence_batched(
-            params, state, frames)
-        return (pose.astype(jnp.float32).sum()
-                + joints.astype(jnp.float32).sum()
-                + root.astype(jnp.float32).sum()
-                + contact.astype(jnp.float32).sum())
-
-    wall_bf, spread_bf = _timed(run_bf, params_bf, state_bf,
-                          frames.astype(jnp.bfloat16), reps=3)
-    fps_bf = S * N / max(wall_bf - rtt, 1e-9)
+    fps_bf, spread_bf, _ = _chained_stream_rate(
+        net.forward_carry_sequence_batched, params_bf, state_bf,
+        frames.astype(jnp.bfloat16), rtt, S * N)
     cflops = carry_flops_per_emitted_frame()
     bf = _flops_fields(fps_bf, cflops)
     return {"metric": "carry_mode_frames_per_sec", "value": round(fps, 1),
@@ -364,7 +409,7 @@ def bench_datagen(net, params, rtt):
     Uses the same body the rest of the matrix runs (synthetic fixture when
     the SMPL blob is absent — vertex count matches whatever is loaded)."""
     from mobileposer_tpu.data.synthesis import synthesize_virtual_imu
-    T, R = 1024, 5
+    T = 1024
     rng = np.random.RandomState(11)
     aa = rng.randn(T, 24, 3).astype(np.float32) * 0.2
     from mobileposer_tpu.kinematics import rotation as Rt
@@ -373,17 +418,18 @@ def bench_datagen(net, params, rtt):
     pose0 = jax.jit(lambda a: Rt.axis_angle_to_rotation_matrix(
         a.reshape(-1, 3)).reshape(T, 24, 3, 3))(aa)
 
-    @jax.jit
-    def run(pose):
-        def body(_, pose):
-            out = synthesize_virtual_imu(net.body_model, pose)
-            dep = (out["joint"].sum() + out["vacc"].sum()
-                   + out["vrot"].sum() + out["contact"].sum())
-            return pose + dep * 1e-12
-        return jax.lax.fori_loop(0, R, body, pose).sum()
+    def make_run(R):
+        @jax.jit
+        def run(pose):
+            def body(_, pose):
+                out = synthesize_virtual_imu(net.body_model, pose)
+                dep = (out["joint"].sum() + out["vacc"].sum()
+                       + out["vrot"].sum() + out["contact"].sum())
+                return pose + dep * 1e-12
+            return jax.lax.fori_loop(0, R, body, pose).sum()
+        return run
 
-    wall, spread = _timed(run, pose0, reps=3)
-    dt = max(wall - rtt, 1e-9) / R
+    dt, spread, _ = _pilot_scaled_fori(make_run, 5, rtt, pose0)
     return {"metric": "datagen_frames_per_sec", "value": round(T / dt, 1),
             **spread,
             "unit": "frames/s", "seq_len": T,
@@ -397,23 +443,25 @@ def bench_eval_batched(net, params, rtt):
     Ragged bidirectional layers route through the masked pallas kernel
     under backend='auto' (measured 3.6x vs the masked XLA scan)."""
     from mobileposer_tpu.models.net import forward
-    B, T, R = 64, 512, 5
+    B, T = 64, 512
     rng = np.random.RandomState(9)
     imu = jnp.asarray(rng.randn(B, T, 60), jnp.float32) * 0.1
     lengths = jnp.asarray(rng.randint(T // 3, T + 1, B), jnp.int32)
 
-    @jax.jit
-    def run(params, imu):
-        def body(_, imu):
-            pose, joints, vel, contact, _ = forward(params, imu,
-                                                    net.body_model,
-                                                    lengths=lengths)
-            dep = (pose.sum() + joints.sum() + vel.sum() + contact.sum())
-            return imu + dep * 1e-12
-        return jax.lax.fori_loop(0, R, body, imu).sum()
+    def make_run(R):
+        @jax.jit
+        def run(params, imu):
+            def body(_, imu):
+                pose, joints, vel, contact, _ = forward(params, imu,
+                                                        net.body_model,
+                                                        lengths=lengths)
+                dep = (pose.sum() + joints.sum() + vel.sum()
+                       + contact.sum())
+                return imu + dep * 1e-12
+            return jax.lax.fori_loop(0, R, body, imu).sum()
+        return run
 
-    wall, spread = _timed(run, params, imu, reps=3)
-    dt = max(wall - rtt, 1e-9) / R
+    dt, spread, _ = _pilot_scaled_fori(make_run, 5, rtt, params, imu)
     valid = int(np.asarray(lengths).sum())
     fps = valid / dt
     return {"metric": "eval_batched_frames_per_sec", "value": round(fps, 1),
@@ -433,20 +481,12 @@ def bench_carry_max_throughput(net, params, rtt):
     state = jax.tree_util.tree_map(
         jnp.asarray, net.init_carry_state_batched(S, dtype=jnp.bfloat16))
 
-    @jax.jit
-    def run(params, state, frames):
-        (pose, joints, root, contact), _ = net.forward_carry_sequence_batched(
-            params, state, frames)
-        return (pose.astype(jnp.float32).sum()
-                + joints.astype(jnp.float32).sum()
-                + root.astype(jnp.float32).sum()
-                + contact.astype(jnp.float32).sum())
-
     frames = jnp.asarray(
         np.random.RandomState(8).randn(N, S, 60).astype(np.float32) * 0.1
     ).astype(jnp.bfloat16)
-    wall, spread = _timed(run, params_bf, state, frames, reps=3)
-    fps = S * N / max(wall - rtt, 1e-9)
+    fps, spread, _ = _chained_stream_rate(
+        net.forward_carry_sequence_batched, params_bf, state, frames, rtt,
+        S * N)
     return {"metric": "carry_bf16_max_throughput_frames_per_sec", **spread,
             "value": round(fps, 1), "unit": "frames/s", "streams": S,
             "exact_semantics": False,
@@ -473,20 +513,12 @@ def bench_carry_int8(net, params, rtt):
     state = jax.tree_util.tree_map(
         jnp.asarray, net.init_carry_state_batched(S, dtype=jnp.bfloat16))
 
-    @jax.jit
-    def run(params, state, frames):
-        (pose, joints, root, contact), _ = net.forward_carry_sequence_batched(
-            params, state, frames)
-        return (pose.astype(jnp.float32).sum()
-                + joints.astype(jnp.float32).sum()
-                + root.astype(jnp.float32).sum()
-                + contact.astype(jnp.float32).sum())
-
     frames = jnp.asarray(
         np.random.RandomState(8).randn(N, S, 60).astype(np.float32) * 0.1
     ).astype(jnp.bfloat16)
-    wall, spread = _timed(run, params_q, state, frames, reps=3)
-    fps = S * N / max(wall - rtt, 1e-9)
+    fps, spread, _ = _chained_stream_rate(
+        net.forward_carry_sequence_batched, params_q, state, frames, rtt,
+        S * N)
     fields = mfu_fields(
         fps * carry_flops_per_emitted_frame(),
         chip_tflops=2.0 * _CHIP_TFLOPS if _CHIP_TFLOPS else None,
@@ -513,20 +545,12 @@ def bench_exact_int8(net, params, rtt):
     state = jax.tree_util.tree_map(
         jnp.asarray, net.init_online_state_batched(S, dtype=jnp.bfloat16))
 
-    @jax.jit
-    def run(params, state, frames):
-        (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
-            params, state, frames)
-        return (pose.astype(jnp.float32).sum()
-                + joints.astype(jnp.float32).sum()
-                + root.astype(jnp.float32).sum()
-                + contact.astype(jnp.float32).sum())
-
     frames = jnp.asarray(
         np.random.RandomState(9).randn(N, S, 60).astype(np.float32) * 0.1
     ).astype(jnp.bfloat16)
-    wall, spread = _timed(run, params_q, state, frames, reps=3)
-    fps = S * N / max(wall - rtt, 1e-9)
+    fps, spread, _ = _chained_stream_rate(
+        net.forward_online_sequence_batched, params_q, state, frames, rtt,
+        S * N)
     fields = mfu_fields(
         fps * streaming_flops_per_emitted_frame(),
         chip_tflops=2.0 * _CHIP_TFLOPS if _CHIP_TFLOPS else None,
@@ -547,16 +571,11 @@ def bench_stream_latency(net, params, rtt):
     state = jax.tree_util.tree_map(
         jnp.asarray, net.init_online_state_batched(1))
 
-    @jax.jit
-    def run(params, state, frames):
-        (pose, joints, root, contact), _ = net.forward_online_sequence_batched(
-            params, state, frames)
-        return pose.sum() + joints.sum() + root.sum() + contact.sum()
-
     frames = jnp.asarray(
         np.random.RandomState(6).randn(N, 1, 60).astype(np.float32) * 0.1)
-    wall, spread = _timed(run, params, state, frames, reps=5)
-    per_frame_ms = max(wall - rtt, 1e-9) / N * 1e3
+    fps, spread, _ = _chained_stream_rate(
+        net.forward_online_sequence_batched, params, state, frames, rtt, N)
+    per_frame_ms = 1e3 / fps
     return {"metric": "single_stream_latency_ms", "value": round(per_frame_ms, 3),
             **spread,
             "unit": "ms/frame", "budget_ms_at_30fps": 33.3}

@@ -1,10 +1,14 @@
 """Dissect W8A8 int8 serving performance on the real chip.
 
-The r5 serving-SLO runs measured int8 serving ~10-20x SLOWER than float
-at 256 streams (carry fetch p50 785 ms vs 33 ms float) — in BOTH modes,
-including carry, which is pure XLA (no Pallas), so the regression is in
-the XLA int8 compute path itself, not the kernels. This script pins down
-where the time goes, layer by layer:
+The first r5 serving-SLO runs measured int8 serving ~10-20x SLOWER than
+float at 256 streams (carry fetch p50 785 ms vs 33 ms float). This script
+was written to dissect that — and found the cause in the harness, not the
+chip: quantize_params_int8 returned a host-numpy tree, so every jitted
+call re-uploaded all weights over the ~30 ms-RTT tunnel (now fixed: the
+tree is device-resident). With that fixed, the measured story is
+throughput parity (carry 1.02x float, exact 0.96x — 'int8_microbench' in
+the report): dynamic quantize/dequant overhead cancels the 2x MXU rate at
+hidden-256 shapes. The layer-by-layer dissection stays useful:
 
   1. raw matmul: `int8_matmul` vs f32/bf16 `x @ w` at the serving shapes
      (input projection [S,132]@[132,1024], recurrence [S,256]@[256,1024]);

@@ -26,8 +26,9 @@ run python scripts/serving_slo.py --streams 256 --seconds 20 --mode carry --out 
 run python scripts/live_loop_slo.py --seconds 15 --out "$REPORT"
 run python scripts/live_loop_slo.py --seconds 15 --sync --out "$REPORT"
 
-# 3. int8 serving slowdown dissection (r5 finding: int8 ~10-20x slower at
-# serving shapes on-chip, in BOTH modes incl. the pure-XLA carry path)
+# 3. int8 serving dissection (r5 postmortem: the initial 10-20x "slowdown"
+# was a host-transfer storm from numpy quantized params, since fixed;
+# measured outcome is parity — see the int8_microbench report row)
 run python scripts/int8_microbench.py --streams 256 --frames 64 --out "$REPORT"
 
 echo "=== done ($(date))" | tee -a "$LOG"
