@@ -22,6 +22,7 @@ import numpy as np
 
 from mobileposer_tpu import config as C
 from mobileposer_tpu.stream import quat_np as Q
+from mobileposer_tpu.stream.pacing import Pacer
 from mobileposer_tpu.stream.receiver import encode_rebroadcast
 from mobileposer_tpu.stream.sensor import PORTS, encode_packet
 
@@ -59,16 +60,14 @@ class DeviceReplayer:
 
     def replay(self, stream: Iterable, fps: Optional[float] = None) -> int:
         n = 0
-        last = time.perf_counter()
+        # absolute-deadline pacing (stream/pacing.py): re-anchoring at
+        # each send adds every sleep overshoot to the packet period
+        pacer = Pacer(1.0 / (fps * 5)) if fps else None
         for slot, packet in stream:
             self.send(slot, packet)
             n += 1
-            if fps:
-                target = last + 1.0 / (fps * 5)
-                now = time.perf_counter()
-                if now < target:
-                    time.sleep(target - now)
-                last = time.perf_counter()
+            if pacer is not None:
+                pacer.wait()
         return n
 
 
@@ -87,13 +86,12 @@ class FrameReplayer:
     def replay(self, acc: np.ndarray, quat_xyzw: np.ndarray,
                fps: Optional[float] = 30.0) -> int:
         """acc [T,5,3], quat [T,5,4] xyzw."""
-        last = time.perf_counter()
+        # absolute schedule: frame t due at t0 + t/fps, so the live loop
+        # downstream actually receives fps frames/s (relative pacing fed
+        # it ~29 fps at a 30 fps target and capped the measured loop rate)
+        pacer = Pacer(1.0 / fps) if fps else None
         for t in range(acc.shape[0]):
             self.send_frame(acc[t], quat_xyzw[t])
-            if fps:
-                target = last + 1.0 / fps
-                now = time.perf_counter()
-                if now < target:
-                    time.sleep(target - now)
-                last = time.perf_counter()
+            if pacer is not None:
+                pacer.wait()
         return acc.shape[0]

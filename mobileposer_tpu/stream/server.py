@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from mobileposer_tpu.kinematics import rotation as R
 from mobileposer_tpu.models import MobilePoserNet
+from mobileposer_tpu.stream.pacing import Pacer
 
 REQUEST_STRUCT = struct.Struct("<I60f")
 REPLY_STRUCT = struct.Struct("<I72f3f2f")
@@ -131,6 +132,16 @@ class PoseServer:
 
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        # the default ~212 KB rcvbuf holds barely ONE 256-stream request
+        # burst once the kernel's per-skb truesize (~3x the 244-byte
+        # payload) is charged — any tick where the GIL delays the drain
+        # drops the next burst wholesale (measured reply_rate 0.65 at
+        # 256 streams x 30 Hz). Size both buffers for several bursts.
+        for opt in (socket.SO_RCVBUF, socket.SO_SNDBUF):
+            try:
+                self.sock.setsockopt(socket.SOL_SOCKET, opt, 4 << 20)
+            except OSError:
+                pass                        # platform cap; keep default
         self.sock.bind((host, port))
         # non-blocking: the drain loop must never stall the serving tick
         self.sock.setblocking(False)
@@ -524,14 +535,16 @@ class PoseServer:
         if self.pipelined:
             self._start_fetcher()
         t0 = time.time()
+        # absolute-deadline pacing: relative sleep(period - work) adds
+        # every sleep overshoot (timer granularity + GIL contention with
+        # the fetcher thread) to the period — measured 27.65 Hz sustained
+        # at a 30 Hz target with 25 ms/tick of slack (stream/pacing.py)
+        pacer = Pacer(self.tick_period)
         while not self._stop.is_set():
-            tick_start = time.perf_counter()
             self.tick()
             if duration is not None and time.time() - t0 > duration:
                 break
-            leftover = self.tick_period - (time.perf_counter() - tick_start)
-            if leftover > 0:
-                time.sleep(leftover)
+            pacer.wait()
 
     def stop(self) -> None:
         self._stop.set()

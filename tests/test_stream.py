@@ -216,3 +216,66 @@ def test_performance_logger():
     snap = pl.snapshot()
     np.testing.assert_allclose(snap[0][1], 0.02, atol=1e-9)
     assert snap[1][0] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Pacer: absolute-deadline pacing (stream/pacing.py)
+# ---------------------------------------------------------------------------
+
+class _FakeTime:
+    """Deterministic clock whose sleep overshoots like a loaded host."""
+
+    def __init__(self, overshoot: float = 0.0):
+        self.t = 0.0
+        self.overshoot = overshoot
+
+    def clock(self):
+        return self.t
+
+    def sleep(self, d):
+        assert d >= 0
+        self.t += d + self.overshoot
+
+
+def test_pacer_absorbs_sleep_overshoot():
+    # 30 Hz, 8 ms of work per tick, every sleep overshoots by 3 ms.
+    # Relative pacing would run at 1/(period+3ms) = 27.5 Hz; absolute
+    # deadlines keep the schedule: N ticks in ~N periods.
+    from mobileposer_tpu.stream.pacing import Pacer
+
+    ft = _FakeTime(overshoot=0.003)
+    period = 1.0 / 30.0
+    p = Pacer(period, clock=ft.clock, sleep=ft.sleep)
+    n = 200
+    for _ in range(n):
+        ft.t += 0.008  # the tick's work
+        p.wait()
+    # one overshoot (the last sleep's) may stick out past the schedule
+    assert ft.t <= n * period + 0.004
+
+
+def test_pacer_no_burst_when_behind():
+    # work longer than the period: wait() must not sleep and must not
+    # let the loop burst to catch up afterwards
+    from mobileposer_tpu.stream.pacing import Pacer
+
+    ft = _FakeTime()
+    period = 0.010
+    p = Pacer(period, clock=ft.clock, sleep=ft.sleep)
+    ft.t += 0.035  # 3.5 periods of work
+    before = ft.t
+    p.wait()
+    assert ft.t == before  # no sleep while behind
+    # schedule realigned: the NEXT wait after fast work sleeps a full
+    # remaining slot instead of returning immediately 3 more times
+    ft.t += 0.001
+    p.wait()
+    assert ft.t == before + period
+
+
+def test_pacer_rejects_nonpositive_period():
+    from mobileposer_tpu.stream.pacing import Pacer
+    import pytest
+
+    with pytest.raises(ValueError):
+        Pacer(0.0)
