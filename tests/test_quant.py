@@ -115,6 +115,23 @@ def test_quantize_params_structure_and_cast_interplay():
         pq_bf["joints"]["linear1"]["w"].dtype) == jnp.bfloat16
 
 
+def test_quantize_params_returns_device_resident_tree():
+    """Regression pin for the r5 serving postmortem: quantize_params_int8
+    once returned a NUMPY tree, and every jitted step call re-uploaded
+    every leaf — over the tunneled pool chip that per-leaf transfer storm
+    measured as a 10-20x serving 'slowdown' wrongly attributed to int8
+    compute (scripts/int8_microbench.py caught it; ops/quant.py:119-126).
+    Every leaf must come back as a committed jax.Array."""
+    from mobileposer_tpu.models import init_all_modules
+    params = jax.device_get(init_all_modules(jax.random.PRNGKey(0)))
+    pq = quantize_params_int8(params)
+    leaves = jax.tree_util.tree_leaves(pq)
+    assert leaves, "quantized tree is empty"
+    for leaf in leaves:
+        assert isinstance(leaf, jax.Array), (
+            f"non-device leaf {type(leaf)} would re-upload on every step")
+
+
 def test_server_quantize_guards():
     """exact + int8 is a supported configuration — single-device (int8
     window kernels) AND sharded (the shard_map exact step runs the kernels
