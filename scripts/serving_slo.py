@@ -70,6 +70,11 @@ def main(argv=None):
                         help="timed windows to run; best is the headline, "
                              "all sustained rates are recorded")
     parser.add_argument("--out", default=None)
+    parser.add_argument("--key", default=None,
+                        help="report key override (default "
+                             "serving_tick_<mode>_<pipelined|sync>[_int8]); "
+                             "use for capacity studies at non-default "
+                             "stream counts so the SLO rows survive")
     args = parser.parse_args(argv)
 
     from mobileposer_tpu.utils.helpers import enable_persistent_compile_cache
@@ -222,9 +227,10 @@ def main(argv=None):
 
     if args.out:
         from benchmarks.reporting import merge_report
-        key = (f"serving_tick_{args.mode}_"
-               f"{'pipelined' if not args.sync else 'sync'}"
-               + ("_int8" if args.int8 else ""))
+        key = args.key or (
+            f"serving_tick_{args.mode}_"
+            f"{'pipelined' if not args.sync else 'sync'}"
+            + ("_int8" if args.int8 else ""))
         merge_report(args.out, result, key=key)
     return result
 
