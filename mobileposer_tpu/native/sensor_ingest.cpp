@@ -289,6 +289,138 @@ int ingest_read_since(void* handle, int slot, uint64_t after_seq,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Batched serving UDP (stream/server.py hot path).
+//
+// The serving tick's host cost at S streams is dominated by 2*S UDP
+// syscalls plus S struct.unpack/sendto Python iterations per tick — at
+// 512-1024 streams x 30 Hz that is 30-60k GIL-holding syscalls per second
+// on the serving core, and the measured capacity study (deploy.md §2)
+// showed the HOST, not the chip, caps stream count. These helpers batch
+// the whole drain / reply-send into one ctypes call each (recvmmsg /
+// sendmmsg, 128 datagrams per syscall) and run entirely GIL-free, so the
+// pipelined fetcher thread keeps running while the tick drains.
+//
+// Request wire format (REQUEST_STRUCT "<I60f", 244 bytes LE) is validated
+// here: wrong-size datagrams and non-finite frames are rejected exactly
+// like PoseServer._drain_requests does (a NaN frame would poison a
+// stream's carried LSTM state).
+//
+// Addresses cross the boundary packed as uint64 = (ipv4_be << 16) |
+// port_be: the Python side never parses them, it only round-trips them
+// from drain to send.
+
+namespace {
+constexpr int kUdpBatch = 128;
+constexpr int kReqDim = 60;                       // IMU floats per request
+constexpr int kReqSize = 4 + kReqDim * 4;         // "<I60f"
+}  // namespace
+
+int udp_drain_requests(int fd, uint32_t* ids, float* frames, uint64_t* addrs,
+                       int max_n, int max_total, int* rejected) {
+  // max_total bounds DATAGRAMS PROCESSED (valid + rejected): without it a
+  // garbage flood arriving faster than the drain would spin this loop
+  // forever and stall the serving tick — the Python drain's iteration cap
+  // (PoseServer._drain_requests) guards the same attack.
+  int n = 0, rej = 0, total = 0;
+  static thread_local char bufs[kUdpBatch][kReqSize + 8];
+  mmsghdr msgs[kUdpBatch];
+  iovec iovs[kUdpBatch];
+  sockaddr_in srcs[kUdpBatch];
+  while (n < max_n && total < max_total) {
+    const int want = std::min(kUdpBatch, std::min(max_n - n,
+                                                  max_total - total));
+    for (int i = 0; i < want; ++i) {
+      iovs[i].iov_base = bufs[i];
+      iovs[i].iov_len = sizeof(bufs[i]);  // oversize shows as msg_len != 244
+      memset(&msgs[i], 0, sizeof(mmsghdr));
+      msgs[i].msg_hdr.msg_iov = &iovs[i];
+      msgs[i].msg_hdr.msg_iovlen = 1;
+      msgs[i].msg_hdr.msg_name = &srcs[i];
+      msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+    }
+    const int got = recvmmsg(fd, msgs, want, MSG_DONTWAIT, nullptr);
+    if (got <= 0) break;                           // EWOULDBLOCK: drained
+    total += got;
+    for (int i = 0; i < got; ++i) {
+      if (static_cast<int>(msgs[i].msg_len) != kReqSize) { ++rej; continue; }
+      float f[kReqDim];
+      memcpy(f, bufs[i] + 4, sizeof(f));
+      bool finite = true;
+      for (int k = 0; k < kReqDim; ++k)
+        if (!std::isfinite(f[k])) { finite = false; break; }
+      if (!finite) { ++rej; continue; }
+      memcpy(ids + n, bufs[i], 4);
+      memcpy(frames + static_cast<size_t>(n) * kReqDim, f, sizeof(f));
+      addrs[n] = (static_cast<uint64_t>(srcs[i].sin_addr.s_addr) << 16) |
+                 srcs[i].sin_port;
+      ++n;
+    }
+    if (got < want) break;                         // socket drained
+  }
+  if (rejected) *rejected = rej;
+  return n;
+}
+
+// Send n packed `sz`-byte payloads (contiguous) to per-payload addresses.
+// Returns the number actually sent; on a full send buffer the remainder is
+// dropped (UDP serving: a stale real-time reply is worthless, matching the
+// Python path's per-datagram OSError drop).
+int udp_send_batch(int fd, const uint8_t* payload, int n, int sz,
+                   const uint64_t* addrs) {
+  mmsghdr msgs[kUdpBatch];
+  iovec iovs[kUdpBatch];
+  sockaddr_in dsts[kUdpBatch];
+  int sent = 0;
+  while (sent < n) {
+    const int want = std::min(kUdpBatch, n - sent);
+    for (int j = 0; j < want; ++j) {
+      const uint64_t a = addrs[sent + j];
+      dsts[j] = sockaddr_in{};
+      dsts[j].sin_family = AF_INET;
+      dsts[j].sin_addr.s_addr = static_cast<uint32_t>(a >> 16);
+      dsts[j].sin_port = static_cast<uint16_t>(a & 0xffff);
+      iovs[j].iov_base = const_cast<uint8_t*>(payload) +
+                         static_cast<size_t>(sent + j) * sz;
+      iovs[j].iov_len = sz;
+      memset(&msgs[j], 0, sizeof(mmsghdr));
+      msgs[j].msg_hdr.msg_iov = &iovs[j];
+      msgs[j].msg_hdr.msg_iovlen = 1;
+      msgs[j].msg_hdr.msg_name = &dsts[j];
+      msgs[j].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+    }
+    const int got = sendmmsg(fd, msgs, want, MSG_DONTWAIT);
+    if (got <= 0) break;                           // buffer full: drop rest
+    sent += got;
+    if (got < want) break;
+  }
+  return sent;
+}
+
+// Drain and count datagrams of any size (benchmark drivers counting
+// replies without paying a Python recvfrom per datagram).
+int udp_drain_count(int fd, int max_n) {
+  static thread_local char bufs[kUdpBatch][2048];
+  mmsghdr msgs[kUdpBatch];
+  iovec iovs[kUdpBatch];
+  int n = 0;
+  while (n < max_n) {
+    const int want = std::min(kUdpBatch, max_n - n);
+    for (int i = 0; i < want; ++i) {
+      iovs[i].iov_base = bufs[i];
+      iovs[i].iov_len = sizeof(bufs[i]);
+      memset(&msgs[i], 0, sizeof(mmsghdr));
+      msgs[i].msg_hdr.msg_iov = &iovs[i];
+      msgs[i].msg_hdr.msg_iovlen = 1;
+    }
+    const int got = recvmmsg(fd, msgs, want, MSG_DONTWAIT, nullptr);
+    if (got <= 0) break;
+    n += got;
+    if (got < want) break;
+  }
+  return n;
+}
+
 // Parse one packet without sockets (unit-test hook). Returns slot or -1.
 int ingest_parse(const char* buf, int len, double* out) {
   Frame f;

@@ -21,6 +21,7 @@ idle slots recycle after `idle_timeout` seconds.
 
 from __future__ import annotations
 
+import os
 import queue
 import socket
 import struct
@@ -146,6 +147,24 @@ class PoseServer:
         # non-blocking: the drain loop must never stall the serving tick
         self.sock.setblocking(False)
         self.port = self.sock.getsockname()[1]
+
+        # Batched GIL-free UDP syscalls (native/sensor_ingest.cpp
+        # udp_drain_requests/udp_send_batch via recvmmsg/sendmmsg): the
+        # capacity study (deploy.md §2) measured the per-datagram Python
+        # drain/send loops — 2*S syscalls + S struct.unpacks per tick —
+        # as the serving ceiling on a 1-core host, NOT device compute.
+        # Reply content is identical either way (test-pinned); set
+        # MP_NATIVE_UDP=0 to force the pure-Python path. Addresses are
+        # opaque uint64 tokens in native mode, tuples in Python mode —
+        # never mixed, since the mode is fixed per server.
+        self._native_udp = None
+        if os.environ.get("MP_NATIVE_UDP", "1") != "0":
+            try:
+                from mobileposer_tpu.native import ServingUDP
+                self._native_udp = ServingUDP()
+            except Exception:
+                self._native_udp = None
+        self.rejected_frames = 0
 
         # slot state (host side)
         self.slot_of: Dict[int, int] = {}           # stream_id -> slot
@@ -358,13 +377,20 @@ class PoseServer:
         rec["contact"] = contact_np[slots]
         raw = rec.tobytes()
         sz = REPLY_STRUCT.size
-        sent = 0
-        for i, (_, _, addr) in enumerate(entries):
-            try:
-                self.sock.sendto(raw[i * sz:(i + 1) * sz], addr)
-                sent += 1
-            except OSError:
-                pass
+        if self._native_udp is not None:
+            # one GIL-free sendmmsg batch; addrs are the drain's tokens
+            tokens = np.fromiter((e[2] for e in entries), np.uint64,
+                                 len(entries))
+            sent = self._native_udp.send(self.sock.fileno(), raw,
+                                         len(entries), sz, tokens)
+        else:
+            sent = 0
+            for i, (_, _, addr) in enumerate(entries):
+                try:
+                    self.sock.sendto(raw[i * sz:(i + 1) * sz], addr)
+                    sent += 1
+                except OSError:
+                    pass
         self.frames_served += sent
         self._lag_ms[self._lag_n % self._lag_ms.size] = (
             (time.perf_counter() - t_dispatch) * 1e3)
@@ -398,7 +424,42 @@ class PoseServer:
         self.states = self._reset_fn(states, slot)
 
     # -- main loop ----------------------------------------------------------
+    def _drain_requests_native(self) -> int:
+        """One GIL-free recvmmsg drain (validation + finite check in C),
+        then vectorized slot assembly. Semantics match the Python drain:
+        wrong-size / non-finite datagrams rejected, later duplicates of a
+        stream win (numpy fancy assignment is in index order), unknown
+        streams claim slots via the same _slot_for admission."""
+        ids, frames, addrs, rej = self._native_udp.drain(
+            self.sock.fileno(), self.max_streams * 4)
+        self.rejected_frames += rej
+        if ids.size == 0:
+            return 0
+        now = time.time()
+        slots = np.empty(ids.size, np.int64)
+        keep = np.zeros(ids.size, bool)
+        n = 0
+        for i, sid in enumerate(ids.tolist()):
+            slot = self._slot_for(sid)
+            if slot is None:                         # server full
+                continue
+            slots[i] = slot
+            keep[i] = True
+            self.addr_of[slot] = int(addrs[i])       # opaque token
+            # stamp immediately: _slot_for's idle recycling reads
+            # last_seen, so a slot claimed earlier in THIS loop must not
+            # look idle to a later datagram's admission
+            self.last_seen[slot] = now
+            n += 1
+        if n:
+            sl = slots[keep]
+            self.pending[sl] = frames[keep]
+            self.has_frame[sl] = True
+        return n
+
     def _drain_requests(self) -> int:
+        if self._native_udp is not None:
+            return self._drain_requests_native()
         n = 0
         # hard iteration cap: dropped (malformed/non-finite) datagrams must
         # also count toward the per-tick budget, or a garbage flood could
@@ -411,6 +472,7 @@ class PoseServer:
             except OSError:
                 break
             if len(data) != REQUEST_STRUCT.size:
+                self.rejected_frames += 1
                 continue
             unpacked = REQUEST_STRUCT.unpack(data)
             stream_id = unpacked[0]
@@ -418,6 +480,7 @@ class PoseServer:
             if not np.isfinite(frame).all():
                 # a single NaN/inf frame would poison the slot's carried
                 # LSTM state until the idle-timeout reset — drop it here
+                self.rejected_frames += 1
                 continue
             slot = self._slot_for(stream_id)
             if slot is None:
@@ -469,11 +532,22 @@ class PoseServer:
             # request RTT alone exceeded the 33 ms tick budget (measured
             # fetch p50 47.6 ms -> sustained 25.6 Hz at 256 streams);
             # async-issued copies from successive ticks overlap in flight.
-            for a in outs:
-                try:
-                    a.copy_to_host_async()
-                except (AttributeError, RuntimeError):
-                    break                    # backend without async copy
+            # ... but ONLY while the fetch pipeline keeps up: when reply
+            # bandwidth saturates (measured: 1024 streams x 30 Hz =
+            # ~9.5 MB/s of replies = the dev tunnel's whole D2H rate),
+            # issuing the copy for EVERY dispatched tick floods the
+            # transport with transfers for ticks the drop-oldest policy
+            # will discard anyway — fetch latency then grows unboundedly
+            # (measured p50 2.9 s, reply_rate 0.01). With the copy gated
+            # on backlog, only ticks that will actually be fetched spend
+            # transport bandwidth, so overload degrades to a LOWER REPLY
+            # RATE of FRESH poses instead of seconds-stale everything.
+            if self._fetch_q.qsize() <= 1:
+                for a in outs:
+                    try:
+                        a.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        break                # backend without async copy
             self._enqueue_replies(outs, snapshot)
             sent = len(snapshot[0])
         else:
@@ -501,6 +575,8 @@ class PoseServer:
                      if now - self.last_seen[slot] <= self.idle_timeout)
         out = {
             "frames_served": self.frames_served,
+            "native_udp": self._native_udp is not None,
+            "rejected_frames": self.rejected_frames,
             "active_streams": active,
             "ticks_measured": int(n),
             "tick_ms_p50": round(float(p50), 3),

@@ -121,25 +121,48 @@ def main(argv=None):
         i, *(rng.randn(60).astype(np.float32) * 0.1).tolist())
         for i in range(S)]
 
-    def send_round():
-        sent = 0
-        for p in payloads:
-            try:
-                sock.sendto(p, addr)
-                sent += 1
-            except OSError:
-                pass
-        return sent
+    # Batched GIL-free syscalls for the LOAD GENERATOR too: at 512-1024
+    # streams the driver's own per-datagram sendto/recvfrom loops compete
+    # with the server for the single host core and cap the measurement
+    # (the capacity study's 1024-stream row measured the generator as
+    # much as the server). Falls back to the Python loops without a
+    # toolchain.
+    native = None
+    try:
+        from mobileposer_tpu.native import ServingUDP
+        native = ServingUDP()
+    except Exception:
+        native = None
+    if native is not None:
+        burst = b"".join(payloads)
+        tokens = np.full(S, ServingUDP.addr_token(*addr), np.uint64)
 
-    def drain_replies():
-        got = 0
-        while True:
-            try:
-                data, _ = sock.recvfrom(REPLY_STRUCT.size)
-                got += 1
-            except (BlockingIOError, OSError):
-                break
-        return got
+        def send_round():
+            return native.send(sock.fileno(), burst, S,
+                               REQUEST_STRUCT.size, tokens)
+
+        def drain_replies():
+            return native.drain_count(sock.fileno(), S * 64)
+    else:
+        def send_round():
+            sent = 0
+            for p in payloads:
+                try:
+                    sock.sendto(p, addr)
+                    sent += 1
+                except OSError:
+                    pass
+            return sent
+
+        def drain_replies():
+            got = 0
+            while True:
+                try:
+                    data, _ = sock.recvfrom(REPLY_STRUCT.size)
+                    got += 1
+                except (BlockingIOError, OSError):
+                    break
+            return got
 
     # -- warmup: first ticks compile (seconds over the tunnel) -------------
     send_round()
@@ -219,8 +242,10 @@ def main(argv=None):
         "tick_ms_p90": stats["tick_ms_p90"],
         "tick_ms_p99": stats["tick_ms_p99"],
     }
-    for k in ("fetch_ms_p50", "fetch_ms_p99", "reply_lag_ms_p50",
-              "reply_lag_ms_p99", "dropped_replies", "reply_queue_depth"):
+    result["driver_native_udp"] = native is not None
+    for k in ("native_udp", "fetch_ms_p50", "fetch_ms_p99",
+              "reply_lag_ms_p50", "reply_lag_ms_p99", "dropped_replies",
+              "reply_queue_depth"):
         if k in stats:
             result[k] = stats[k]
     print(json.dumps(result))

@@ -170,3 +170,53 @@ def test_native_frontend_pipeline():
         fe.native.stop()
         fe.native.close()
         imu_set.stop_reading()
+
+
+def test_serving_udp_batch_roundtrip():
+    """ServingUDP.drain validates wire size + finiteness in C and returns
+    ids/frames/addr-tokens; send() round-trips the tokens back to the
+    source sockets (stream/server.py native serving path)."""
+    import struct
+
+    from mobileposer_tpu.native import ServingUDP
+    try:
+        u = ServingUDP()
+    except RuntimeError:
+        pytest.skip("native serving UDP unavailable")
+    req = struct.Struct("<I60f")
+    a = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    b = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        a.bind(("127.0.0.1", 0))
+        a.setblocking(False)
+        b.bind(("127.0.0.1", 0))
+        b.setblocking(False)
+        f1 = np.arange(60, dtype=np.float32)
+        f2 = f1 * 2
+        bad = f1.copy()
+        bad[7] = np.nan
+        b.sendto(req.pack(7, *f1.tolist()), a.getsockname())
+        b.sendto(b"short", a.getsockname())               # wrong size
+        b.sendto(req.pack(9, *bad.tolist()), a.getsockname())  # non-finite
+        b.sendto(req.pack(8, *f2.tolist()), a.getsockname())
+        time.sleep(0.05)
+        ids, frames, addrs, rej = u.drain(a.fileno(), 64)
+        assert ids.tolist() == [7, 8]
+        assert rej == 2
+        np.testing.assert_array_equal(frames[0], f1)
+        np.testing.assert_array_equal(frames[1], f2)
+        # both tokens point at socket b; send two 312-byte replies back
+        raw = b"x" * 312 + b"y" * 312
+        assert u.send(a.fileno(), raw, 2, 312, addrs) == 2
+        time.sleep(0.05)
+        got = []
+        while True:
+            try:
+                got.append(b.recvfrom(2048)[0])
+            except BlockingIOError:
+                break
+        assert sorted(g[:1] for g in got) == [b"x", b"y"]
+        assert all(len(g) == 312 for g in got)
+    finally:
+        a.close()
+        b.close()

@@ -471,3 +471,80 @@ def test_sharded_server_rejects_uneven_slots():
     with pytest.raises(ValueError, match="divide"):
         PoseServer(net, params, host="127.0.0.1", port=0, max_streams=5,
                    mesh=make_mesh())
+
+
+def test_native_udp_replies_match_python(monkeypatch):
+    """The batched recvmmsg/sendmmsg serving path (native/sensor_ingest
+    udp_*) must change only HOW datagrams move, never reply content: a
+    lockstep client gets bitwise-identical replies from a native-UDP
+    server and a MP_NATIVE_UDP=0 pure-Python server."""
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(17)
+    frames = [rng.randn(60).astype(np.float32) * 0.1 for _ in range(5)]
+    replies = {}
+    for name, env in [("python", "0"), ("native", "1")]:
+        monkeypatch.setenv("MP_NATIVE_UDP", env)
+        srv = PoseServer(net, params, host="127.0.0.1", port=0,
+                         max_streams=4, tick_hz=240.0)
+        if name == "native" and srv._native_udp is None:
+            srv.close()
+            pytest.skip("native serving UDP unavailable")
+        assert (srv._native_udp is not None) == (name == "native")
+        thread = threading.Thread(target=srv.run, daemon=True)
+        thread.start()
+        client = PoseClient(stream_id=3, port=srv.port)
+        try:
+            out = []
+            for f in frames:
+                client.send_frame(f)
+                r = None
+                deadline = time.time() + 60           # first tick compiles
+                while r is None and time.time() < deadline:
+                    r = client.recv_pose()
+                assert r is not None, f"{name}: no reply"
+                out.append(np.concatenate(r))
+            replies[name] = np.stack(out)
+        finally:
+            client.close()
+            srv.stop()
+            thread.join(timeout=10)
+            srv.close()
+    np.testing.assert_array_equal(replies["native"], replies["python"])
+
+
+def test_native_udp_rejects_malformed_and_nonfinite():
+    """The C-side validation must reject exactly what the Python drain
+    rejects — wrong-size datagrams and non-finite frames — and count them
+    in stats()['rejected_frames'] without poisoning any stream slot."""
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    srv = PoseServer(net, params, host="127.0.0.1", port=0, max_streams=4,
+                     tick_hz=240.0)
+    if srv._native_udp is None:
+        srv.close()
+        pytest.skip("native serving UDP unavailable")
+    client = PoseClient(stream_id=21, port=srv.port, timeout=60.0)
+    raw = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        addr = ("127.0.0.1", srv.port)
+        raw.sendto(b"garbage", addr)
+        bad = np.zeros(60, np.float32)
+        bad[0] = np.inf
+        from mobileposer_tpu.stream.server import REQUEST_STRUCT
+        raw.sendto(REQUEST_STRUCT.pack(21, *bad.tolist()), addr)
+        client.send_frame(np.zeros(60, np.float32))   # the one valid frame
+        time.sleep(0.05)
+        srv.tick()
+        r = client.recv_pose()
+        assert r is not None
+        assert np.all(np.isfinite(np.concatenate(r)))
+        assert srv.stats()["rejected_frames"] == 2
+        assert srv.stats()["native_udp"] is True
+    finally:
+        raw.close()
+        client.close()
+        srv.stop()
+        srv.close()
