@@ -542,7 +542,12 @@ class PoseServer:
             # on backlog, only ticks that will actually be fetched spend
             # transport bandwidth, so overload degrades to a LOWER REPLY
             # RATE of FRESH poses instead of seconds-stale everything.
-            if self._fetch_q.qsize() <= 1:
+            # The gate engages at HALF the queue (true saturation), not
+            # on the first queued tick: a transient RTT spike briefly
+            # queues 1-2 ticks, and skipping their copies turns the blip
+            # into a longer episode (an ungated fetch pays the full
+            # ~47 ms sync round trip, measured r4).
+            if self._fetch_q.qsize() < 4:
                 for a in outs:
                     try:
                         a.copy_to_host_async()

@@ -214,7 +214,12 @@ def main(argv=None):
         }
 
     windows = [measure_window(args.seconds) for _ in range(max(args.repeat, 1))]
-    best = max(windows, key=lambda w: w["sustained_tick_hz"])
+    # best window = most DELIVERED replies per second (tick rate x reply
+    # rate): ranking on tick rate alone once picked a 30.0 Hz window with
+    # reply_rate 0.78 over a 29.75 Hz window at 0.99 — ticks that drop
+    # their replies are not serving anyone
+    best = max(windows,
+               key=lambda w: w["sustained_tick_hz"] * w["reply_rate"])
 
     stats = srv.stats()
     srv.stop()
