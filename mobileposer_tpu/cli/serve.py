@@ -40,6 +40,14 @@ def main(argv=None) -> None:
                              "MXU's double-rate int8 path (ops/quant.py; "
                              "works in exact and carry modes — opt-in, "
                              "accuracy-labelled like carry mode itself)")
+    parser.add_argument("--wire", default="f32", choices=["f32", "f16"],
+                        help="reply wire format: f16 halves reply bytes "
+                             "(pose/contact as half floats, translation "
+                             "stays f32; ~0.03 deg worst-case rounding) "
+                             "AND the device->host reply fetch — use when "
+                             "reply bandwidth, not compute, caps stream "
+                             "count (docs/deploy.md #2). Clients must "
+                             "pass the matching wire= to PoseClient")
     parser.add_argument("--no-pipeline", action="store_true",
                         help="synchronous ticks (reply fetched inline). "
                              "Default is the pipelined tick: reply "
@@ -76,11 +84,13 @@ def main(argv=None) -> None:
                         max_streams=args.max_streams, tick_hz=args.tick_hz,
                         mode="carry" if args.carry else "exact", mesh=mesh,
                         pipelined=not args.no_pipeline,
-                        quantize="int8" if args.int8 else None)
+                        quantize="int8" if args.int8 else None,
+                        wire=args.wire)
     print(f"Pose server on udp://{args.host}:{server.port} "
           f"({args.max_streams} streams @ {args.tick_hz} Hz, "
           f"{server.mode} mode"
           + (", int8" if args.int8 else "")
+          + (", f16 wire" if args.wire == "f16" else "")
           + (", pipelined" if server.pipelined else ", synchronous")
           + (f", {mesh.devices.size}-device fleet" if mesh is not None
              else "") + "). Ctrl-C to stop.")

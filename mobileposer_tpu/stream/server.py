@@ -9,11 +9,28 @@ contact.
 
 This is the serving-scale counterpart of the single-user live demo
 (stream/live.py); the reference has no equivalent (it is a single-user
-research pipeline). Wire format (all little-endian float32):
+research pipeline). Wire format (little-endian):
 
   request:  stream_id:uint32 | imu60:float32[60]            (244 bytes)
   reply:    stream_id:uint32 | pose_aa:float32[72] |
             tran:float32[3] | contact:float32[2]            (312 bytes)
+
+With `wire="f16"` (opt-in) the reply's pose and contact fields are IEEE
+half floats and translation stays float32:
+
+  reply16:  stream_id:uint32 | pose_aa:float16[72] |
+            tran:float32[3] | contact:float16[2]            (164 bytes)
+
+The cast runs ON DEVICE, so it halves the device->host reply fetch as
+well as the UDP egress (1.9x fewer bytes end to end) — the resource
+that caps stream count once the serving host's downlink saturates
+(measured: 2048 streams x 30 Hz of f32 replies = ~19 MB/s of D2H
+against the dev tunnel's ~9.6 MB/s ceiling -> reply_rate 0.29; see
+deploy.md §2). Precision: axis-angle components are |x| <= pi, where
+f16 rounding is <= 2^-11 relative ~ 0.03 deg — two orders below the
+model's accuracy label; contacts are probabilities in [0,1]; the
+translation accumulator keeps full f32 because 1.5 cm f16 quantization
+past 16 m WOULD be visible (same reason the fusion state is f32).
 
 Streams are slots: the first `max_streams` distinct ids are admitted;
 idle slots recycle after `idle_timeout` seconds.
@@ -40,6 +57,7 @@ from mobileposer_tpu.stream.pacing import Pacer
 
 REQUEST_STRUCT = struct.Struct("<I60f")
 REPLY_STRUCT = struct.Struct("<I72f3f2f")
+REPLY_STRUCT_F16 = struct.Struct("<I72e3f2e")
 
 
 class PoseServer:
@@ -50,7 +68,7 @@ class PoseServer:
                  max_streams: int = 64, tick_hz: float = 30.0,
                  idle_timeout: float = 30.0, mode: str = "exact",
                  mesh=None, pipelined: bool = False,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None, wire: str = "f32"):
         """mode='exact' serves the reference window semantics
         (forward_online_batched); mode='carry' serves the opt-in
         approximation (models/streaming.py) at ~4.5x the throughput —
@@ -88,9 +106,18 @@ class PoseServer:
         shard_map DP step. The per-stream forward has no cross-stream ops,
         so neither path inserts collectives; replies agree with
         single-device to <=1e-4, test-pinned — per-shard tiling can move
-        low-order bits."""
+        low-order bits.
+
+        wire='f16' switches replies to the compact half-float format
+        (REPLY_STRUCT_F16, 164 vs 312 bytes; module docstring has the
+        precision analysis). The cast runs on device so the reply FETCH
+        halves too — choose it when reply bandwidth (host downlink or
+        D2H) is the capacity ceiling rather than chip compute."""
         self.net = net
         self.mesh = mesh
+        if wire not in ("f32", "f16"):
+            raise ValueError(f"unknown wire format {wire!r}")
+        self.wire = wire
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize {quantize!r}")
         if quantize == "int8":
@@ -179,8 +206,24 @@ class PoseServer:
         feet = np.asarray(net.feet_pos, np.float32)
         lf = jnp.asarray(feet[0])
         rf = jnp.asarray(feet[1])
-        self._aa = jax.jit(lambda p: R.rotation_matrix_to_axis_angle(
-            p.reshape(-1, 3, 3)).reshape(p.shape[0], 72))
+        # reply postprocess, one fused jit dispatch: rotation-matrix ->
+        # axis-angle, plus the on-device wire casts for wire='f16' (the
+        # cast must happen BEFORE the fetch — that is where the bytes are)
+        wire_t = jnp.float16 if wire == "f16" else None
+
+        def post(pose, root, contact):
+            aa = R.rotation_matrix_to_axis_angle(
+                pose.reshape(-1, 3, 3)).reshape(pose.shape[0], 72)
+            if wire_t is None:
+                return aa, root, contact
+            return (aa.astype(wire_t), root.astype(jnp.float32),
+                    contact.astype(wire_t))
+
+        self._post = jax.jit(post)
+        self._reply_struct = (REPLY_STRUCT if wire == "f32"
+                              else REPLY_STRUCT_F16)
+        self._reply_dtype = (self._REPLY_DTYPE if wire == "f32"
+                             else self._REPLY_DTYPE_F16)
         # device-resident per-slot reset: explicit per-field indexed updates
         # (tick() advances EVERY slot each step, so a claimed slot must be
         # cleared whether it was virgin or recycled; shape heuristics or
@@ -353,6 +396,13 @@ class PoseServer:
     _REPLY_DTYPE = np.dtype([("id", "<u4"), ("pose", "<f4", (72,)),
                              ("tran", "<f4", (3,)), ("contact", "<f4", (2,))])
     assert _REPLY_DTYPE.itemsize == REPLY_STRUCT.size
+    # wire-identical to REPLY_STRUCT_F16 ("<I72e3f2e", 164 bytes/row);
+    # np.dtype(list-of-fields) is PACKED, and struct '<' is unaligned, so
+    # the mixed 2/4-byte fields still line up byte for byte
+    _REPLY_DTYPE_F16 = np.dtype([("id", "<u4"), ("pose", "<f2", (72,)),
+                                 ("tran", "<f4", (3,)),
+                                 ("contact", "<f2", (2,))])
+    assert _REPLY_DTYPE_F16.itemsize == REPLY_STRUCT_F16.size
 
     def _send_replies(self, host_outs, snapshot) -> int:
         """Pack + send one tick's replies. snapshot is ([(slot, stream_id,
@@ -369,14 +419,14 @@ class PoseServer:
             return 0
         pose_aa, root_np, contact_np = (np.asarray(a) for a in host_outs)
         slots = np.fromiter((e[0] for e in entries), np.int64, len(entries))
-        rec = np.empty(len(entries), dtype=self._REPLY_DTYPE)
+        rec = np.empty(len(entries), dtype=self._reply_dtype)
         rec["id"] = np.fromiter((e[1] for e in entries), np.uint32,
                                 len(entries))
         rec["pose"] = pose_aa[slots]
         rec["tran"] = root_np[slots]
         rec["contact"] = contact_np[slots]
         raw = rec.tobytes()
-        sz = REPLY_STRUCT.size
+        sz = self._reply_struct.size
         if self._native_udp is not None:
             # one GIL-free sendmmsg batch; addrs are the drain's tokens
             tokens = np.fromiter((e[2] for e in entries), np.uint64,
@@ -521,7 +571,7 @@ class PoseServer:
         # ONE batched fetch for all reply fields: three sequential
         # np.asarray calls cost two extra transport round trips per tick
         # (~60 ms against a 33 ms budget on tunneled devices)
-        outs = (self._aa(pose), root, contact)
+        outs = self._post(pose, root, contact)
         if self.pipelined:
             # jax dispatch is async: `outs` are futures; the fetcher thread
             # pays the transport round trip while this thread starts the
@@ -580,6 +630,7 @@ class PoseServer:
                      if now - self.last_seen[slot] <= self.idle_timeout)
         out = {
             "frames_served": self.frames_served,
+            "wire": self.wire,
             "native_udp": self._native_udp is not None,
             "rejected_frames": self.rejected_frames,
             "active_streams": active,
@@ -644,9 +695,15 @@ class PoseClient:
     """Minimal client for PoseServer (also the test fixture)."""
 
     def __init__(self, stream_id: int, host: str = "127.0.0.1",
-                 port: int = 9000, timeout: float = 2.0):
+                 port: int = 9000, timeout: float = 2.0, wire: str = "f32"):
+        """wire must match the server's reply format ('f32' or 'f16');
+        requests are always float32."""
         self.stream_id = stream_id
         self.addr = (host, port)
+        if wire not in ("f32", "f16"):
+            raise ValueError(f"unknown wire format {wire!r}")
+        self._reply_struct = (REPLY_STRUCT if wire == "f32"
+                              else REPLY_STRUCT_F16)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.settimeout(timeout)
 
@@ -658,10 +715,10 @@ class PoseClient:
     def recv_pose(self):
         """(pose_aa [72], tran [3], contact [2]) or None on timeout."""
         try:
-            data, _ = self.sock.recvfrom(REPLY_STRUCT.size)
+            data, _ = self.sock.recvfrom(self._reply_struct.size)
         except socket.timeout:
             return None
-        u = REPLY_STRUCT.unpack(data)
+        u = self._reply_struct.unpack(data)
         assert u[0] == self.stream_id
         vals = np.asarray(u[1:], np.float32)
         return vals[:72], vals[72:75], vals[75:77]

@@ -66,6 +66,10 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="W8A8 LSTM matmuls (exact or carry mode; "
                              "ops/quant.py)")
+    parser.add_argument("--wire", default="f32", choices=["f32", "f16"],
+                        help="reply wire format; f16 halves reply bytes "
+                             "and the D2H reply fetch (capacity studies "
+                             "where reply bandwidth is the ceiling)")
     parser.add_argument("--repeat", type=int, default=3,
                         help="timed windows to run; best is the headline, "
                              "all sustained rates are recorded")
@@ -98,7 +102,8 @@ def main(argv=None):
     srv = PoseServer(net, params, host="127.0.0.1", port=0,
                      max_streams=args.streams, tick_hz=args.hz,
                      mode=args.mode, pipelined=not args.sync,
-                     quantize="int8" if args.int8 else None)
+                     quantize="int8" if args.int8 else None,
+                     wire=args.wire)
     server_thread = threading.Thread(target=srv.run, daemon=True)
     server_thread.start()
 
@@ -234,6 +239,7 @@ def main(argv=None):
         "pipelined": not args.sync,
         "bf16": args.bf16,
         "int8": args.int8,
+        "wire": args.wire,
         **best,
         # exogenous-noise audit trail: one shared host core + a pool chip
         # over a ~30 ms tunnel make single windows sample the weather;

@@ -548,3 +548,63 @@ def test_native_udp_rejects_malformed_and_nonfinite():
         client.close()
         srv.stop()
         srv.close()
+
+
+def test_f16_wire_replies_match_f32_within_half_precision():
+    """wire='f16' must change the reply ENCODING, never the computation:
+    a lockstep client sees the same poses as the f32-wire server to
+    within one half-float ulp (pose/contact), and the translation —
+    deliberately kept f32 on the wire because f16 quantizes 1.5 cm past
+    16 m — must match bitwise. Also pins the 164-byte compact layout
+    (REPLY_STRUCT_F16 vs the structured dtype the send path packs with)."""
+    from mobileposer_tpu.stream.server import REPLY_STRUCT_F16, PoseServer as S
+
+    assert REPLY_STRUCT_F16.size == 164
+    assert S._REPLY_DTYPE_F16.itemsize == REPLY_STRUCT_F16.size
+
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(17)
+    frames = [rng.randn(60).astype(np.float32) * 0.1 for _ in range(5)]
+    replies = {}
+    for wire in ("f32", "f16"):
+        srv = PoseServer(net, params, host="127.0.0.1", port=0,
+                         max_streams=4, tick_hz=240.0, wire=wire)
+        thread = threading.Thread(target=srv.run, daemon=True)
+        thread.start()
+        client = PoseClient(stream_id=5, port=srv.port, wire=wire)
+        try:
+            out = []
+            for f in frames:
+                client.send_frame(f)
+                r = None
+                deadline = time.time() + 60           # first tick compiles
+                while r is None and time.time() < deadline:
+                    r = client.recv_pose()
+                assert r is not None, f"wire={wire}: no reply"
+                out.append(r)
+            replies[wire] = out
+            assert srv.stats()["wire"] == wire
+        finally:
+            client.close()
+            srv.stop()
+            thread.join(timeout=10)
+            srv.close()
+    for (p32, t32, c32), (p16, t16, c16) in zip(replies["f32"],
+                                                replies["f16"]):
+        # axis-angle components are bounded by pi: one f16 ulp there is
+        # pi * 2^-11 ~ 1.5e-3 (~0.09 deg worst case)
+        np.testing.assert_allclose(p16, p32, atol=2e-3)
+        np.testing.assert_array_equal(t16, t32)       # tran stays f32
+        np.testing.assert_allclose(c16, c32, atol=1e-3)
+
+
+def test_wire_format_validation():
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="wire"):
+        PoseServer(net, params, host="127.0.0.1", port=0, wire="f8")
+    with pytest.raises(ValueError, match="wire"):
+        PoseClient(stream_id=1, wire="f64")
