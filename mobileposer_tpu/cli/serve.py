@@ -48,6 +48,14 @@ def main(argv=None) -> None:
                              "reply bandwidth, not compute, caps stream "
                              "count (docs/deploy.md #2). Clients must "
                              "pass the matching wire= to PoseClient")
+    parser.add_argument("--fetch-workers", type=int, default=1,
+                        help="pipelined reply-fetcher threads. One worker "
+                             "pays a device->host round trip per tick "
+                             "serially (~1/RTT ticks/s ceiling on remote "
+                             "devices); workers overlap the round trips, "
+                             "and per-stream freshness is preserved (a "
+                             "tick fetched after a newer one was sent is "
+                             "dropped whole, never delivered stale)")
     parser.add_argument("--no-pipeline", action="store_true",
                         help="synchronous ticks (reply fetched inline). "
                              "Default is the pipelined tick: reply "
@@ -85,7 +93,7 @@ def main(argv=None) -> None:
                         mode="carry" if args.carry else "exact", mesh=mesh,
                         pipelined=not args.no_pipeline,
                         quantize="int8" if args.int8 else None,
-                        wire=args.wire)
+                        wire=args.wire, fetch_workers=args.fetch_workers)
     print(f"Pose server on udp://{args.host}:{server.port} "
           f"({args.max_streams} streams @ {args.tick_hz} Hz, "
           f"{server.mode} mode"

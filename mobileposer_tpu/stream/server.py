@@ -68,7 +68,8 @@ class PoseServer:
                  max_streams: int = 64, tick_hz: float = 30.0,
                  idle_timeout: float = 30.0, mode: str = "exact",
                  mesh=None, pipelined: bool = False,
-                 quantize: Optional[str] = None, wire: str = "f32"):
+                 quantize: Optional[str] = None, wire: str = "f32",
+                 fetch_workers: int = 1):
         """mode='exact' serves the reference window semantics
         (forward_online_batched); mode='carry' serves the opt-in
         approximation (models/streaming.py) at ~4.5x the throughput —
@@ -112,7 +113,21 @@ class PoseServer:
         (REPLY_STRUCT_F16, 164 vs 312 bytes; module docstring has the
         precision analysis). The cast runs on device so the reply FETCH
         halves too — choose it when reply bandwidth (host downlink or
-        D2H) is the capacity ceiling rather than chip compute."""
+        D2H) is the capacity ceiling rather than chip compute.
+
+        fetch_workers (pipelined mode): number of fetcher threads. A
+        single fetcher pays one device->host round trip PER TICK
+        serially — over a ~30 ms-RTT tunnel that caps the reply pipeline
+        at ~1/RTT ticks/s regardless of bandwidth (measured: 1536
+        streams at 30 Hz had fetch p50 40 ms > the 33.3 ms budget ->
+        reply_rate 0.60 with the D2H link only 77% utilized). Workers
+        overlap those round trips (device_get releases the GIL during
+        the transfer). Replies stay per-stream FRESH under reordering:
+        a tick whose fetch completes after a newer tick has already
+        been sent is dropped whole and counted in dropped_replies —
+        clients never observe a pose regress. With one worker the
+        behavior (and reply order) is exactly the pre-pool serial
+        fetcher."""
         self.net = net
         self.mesh = mesh
         if wire not in ("f32", "f16"):
@@ -303,8 +318,11 @@ class PoseServer:
         self._tick_n = 0
 
         # reply pipeline (pipelined=True): tick() enqueues device arrays +
-        # a slot/addr snapshot; the fetcher thread device_gets and replies
+        # a slot/addr snapshot; fetcher thread(s) device_get and reply
         self.pipelined = pipelined
+        if fetch_workers < 1:
+            raise ValueError(f"fetch_workers must be >= 1, got {fetch_workers}")
+        self.fetch_workers = fetch_workers
         self._drain_deadline = 2.0       # s of post-stop reply flushing
         self._fetch_q: queue.Queue = queue.Queue(maxsize=8)
         self._fetch_ms = np.zeros(1024, np.float32)
@@ -316,15 +334,21 @@ class PoseServer:
         self.dropped_replies = 0
         self.fetch_errors = 0
         self._last_fetch_error: Optional[str] = None
-        self._fetcher: Optional[threading.Thread] = None
+        # freshness gate for the worker pool: fetches can complete out of
+        # order; only the newest tick may be sent (see class docstring)
+        self._dispatch_seq = 0
+        self._max_sent_seq = -1
+        self._send_lock = threading.Lock()
+        self._fetchers: list = []
         if pipelined:
             self._start_fetcher()
 
     def _start_fetcher(self) -> None:
-        if self._fetcher is None or not self._fetcher.is_alive():
-            self._fetcher = threading.Thread(target=self._fetch_loop,
-                                             daemon=True)
-            self._fetcher.start()
+        self._fetchers = [t for t in self._fetchers if t.is_alive()]
+        for _ in range(self.fetch_workers - len(self._fetchers)):
+            t = threading.Thread(target=self._fetch_loop, daemon=True)
+            t.start()
+            self._fetchers.append(t)
 
     def _fetch_loop(self) -> None:
         """Fetcher thread: one batched device->host fetch per dispatched
@@ -361,7 +385,7 @@ class PoseServer:
                             break
                     break
             try:
-                outs, snapshot = self._fetch_q.get(timeout=0.05)
+                seq, outs, snapshot = self._fetch_q.get(timeout=0.05)
             except queue.Empty:
                 continue
             try:
@@ -370,7 +394,18 @@ class PoseServer:
                 self._fetch_ms[self._fetch_n % self._fetch_ms.size] = (
                     (time.perf_counter() - t0) * 1e3)
                 self._fetch_n += 1
-                self._send_replies(host, snapshot)
+                # freshness gate (worker pools): if a NEWER tick's replies
+                # already went out while this fetch was in flight, sending
+                # now would regress every client's pose — drop it whole.
+                # With one worker the queue is FIFO and the gate never
+                # fires. The fetch itself runs OUTSIDE the lock (it is the
+                # part workers exist to overlap); only gate+send serialize.
+                with self._send_lock:
+                    if seq <= self._max_sent_seq:
+                        self.dropped_replies += 1
+                        continue
+                    self._max_sent_seq = seq
+                    self._send_replies(host, snapshot)
             except Exception as e:           # noqa: BLE001 — must not die
                 self.dropped_replies += 1
                 self.fetch_errors += 1
@@ -380,9 +415,10 @@ class PoseServer:
         """Hand a tick's device outputs to the fetcher; if it has fallen
         behind, drop the OLDEST queued tick (a stale real-time pose is
         useless) and count it."""
+        seq, self._dispatch_seq = self._dispatch_seq, self._dispatch_seq + 1
         while True:
             try:
-                self._fetch_q.put_nowait((outs, snapshot))
+                self._fetch_q.put_nowait((seq, outs, snapshot))
                 return
             except queue.Full:
                 try:
@@ -651,6 +687,7 @@ class PoseServer:
             l50, l99 = np.percentile(ll, [50, 99])
             out.update({
                 "pipelined": True,
+                "fetch_workers": self.fetch_workers,
                 "fetch_ms_p50": round(float(f50), 3),
                 "fetch_ms_p99": round(float(f99), 3),
                 "reply_lag_ms_p50": round(float(l50), 3),
@@ -683,11 +720,12 @@ class PoseServer:
 
     def close(self) -> None:
         self._stop.set()
-        if self._fetcher is not None and self._fetcher.is_alive():
-            # drain deadline + one in-flight fetch; must outlast the
-            # fetcher's own exit so no thread is left inside PJRT at
-            # interpreter teardown
-            self._fetcher.join(timeout=self._drain_deadline + 8)
+        for t in self._fetchers:
+            if t.is_alive():
+                # drain deadline + one in-flight fetch; must outlast the
+                # fetcher's own exit so no thread is left inside PJRT at
+                # interpreter teardown
+                t.join(timeout=self._drain_deadline + 8)
         self.sock.close()
 
 

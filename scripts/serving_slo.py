@@ -66,6 +66,9 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="W8A8 LSTM matmuls (exact or carry mode; "
                              "ops/quant.py)")
+    parser.add_argument("--fetch-workers", type=int, default=1,
+                        help="pipelined reply-fetcher threads (overlap "
+                             "the per-tick fetch round trips)")
     parser.add_argument("--wire", default="f32", choices=["f32", "f16"],
                         help="reply wire format; f16 halves reply bytes "
                              "and the D2H reply fetch (capacity studies "
@@ -103,7 +106,7 @@ def main(argv=None):
                      max_streams=args.streams, tick_hz=args.hz,
                      mode=args.mode, pipelined=not args.sync,
                      quantize="int8" if args.int8 else None,
-                     wire=args.wire)
+                     wire=args.wire, fetch_workers=args.fetch_workers)
     server_thread = threading.Thread(target=srv.run, daemon=True)
     server_thread.start()
 
@@ -240,6 +243,7 @@ def main(argv=None):
         "bf16": args.bf16,
         "int8": args.int8,
         "wire": args.wire,
+        "fetch_workers": args.fetch_workers,
         **best,
         # exogenous-noise audit trail: one shared host core + a pool chip
         # over a ~30 ms tunnel make single windows sample the weather;

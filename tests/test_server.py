@@ -424,7 +424,7 @@ def test_pipelined_fetcher_survives_fetch_errors(monkeypatch):
         while srv.fetch_errors == 0 and time.time() < deadline:
             time.sleep(0.01)
         assert srv.fetch_errors == 1
-        assert srv._fetcher.is_alive()
+        assert any(t.is_alive() for t in srv._fetchers)
         # second tick: delivery works again
         client.sock.settimeout(0.5)
         assert client.recv_pose() is None          # first reply was dropped
@@ -608,3 +608,111 @@ def test_wire_format_validation():
         PoseServer(net, params, host="127.0.0.1", port=0, wire="f8")
     with pytest.raises(ValueError, match="wire"):
         PoseClient(stream_id=1, wire="f64")
+
+
+def test_fetch_worker_pool_replies_match_synchronous():
+    """A fetcher POOL must preserve reply content and per-stream freshness:
+    a lockstep client (send, wait, send) gets bitwise-identical replies
+    from a 4-worker pipelined server and a synchronous one — lockstep
+    means ticks can never complete out of order, so the freshness gate
+    must not fire and nothing may be dropped."""
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(23)
+    frames = [rng.randn(60).astype(np.float32) * 0.1 for _ in range(6)]
+    replies = {}
+    for name, kwargs in [("sync", dict(pipelined=False)),
+                         ("pool", dict(pipelined=True, fetch_workers=4))]:
+        srv = PoseServer(net, params, host="127.0.0.1", port=0,
+                         max_streams=4, tick_hz=240.0, **kwargs)
+        thread = threading.Thread(target=srv.run, daemon=True)
+        thread.start()
+        client = PoseClient(stream_id=7, port=srv.port)
+        try:
+            out = []
+            for f in frames:
+                client.send_frame(f)
+                r = None
+                deadline = time.time() + 60           # first tick compiles
+                while r is None and time.time() < deadline:
+                    r = client.recv_pose()
+                assert r is not None, f"{name}: no reply"
+                out.append(np.concatenate(r))
+            replies[name] = np.stack(out)
+            if kwargs.get("pipelined"):
+                stats = srv.stats()
+                assert stats["fetch_workers"] == 4
+                assert stats["dropped_replies"] == 0
+                assert len(srv._fetchers) == 4
+                assert all(t.is_alive() for t in srv._fetchers)
+        finally:
+            client.close()
+            srv.stop()
+            thread.join(timeout=10)
+            srv.close()
+    np.testing.assert_array_equal(replies["pool"], replies["sync"])
+
+
+def test_fetch_freshness_gate_drops_stale_tick():
+    """If a tick's fetch completes AFTER a newer tick's replies were
+    already sent, the stale tick must be dropped whole (clients never see
+    a pose regress). Simulated by stalling the first tick's device_get."""
+    import mobileposer_tpu.stream.server as server_mod
+
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    srv = PoseServer(net, params, host="127.0.0.1", port=0, max_streams=2,
+                     tick_hz=240.0, pipelined=True, fetch_workers=2)
+    client = PoseClient(stream_id=2, port=srv.port, timeout=60.0)
+    real_get = server_mod.jax.device_get
+    first_entered = threading.Event()
+    release_first = threading.Event()
+    calls = {"n": 0}
+
+    def stalling_get(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            first_entered.set()
+            release_first.wait(timeout=30)
+        return real_get(x)
+
+    try:
+        # compile path first (device_get untouched): one clean round trip
+        client.send_frame(np.zeros(60, np.float32))
+        srv.tick()
+        assert client.recv_pose() is not None
+
+        server_mod.jax.device_get = stalling_get
+        # tick A: its fetch stalls inside worker 1
+        client.send_frame(np.ones(60, np.float32) * 0.01)
+        srv.tick()
+        assert first_entered.wait(timeout=30)
+        # tick B: worker 2 fetches and sends while A is still stalled
+        client.send_frame(np.ones(60, np.float32) * 0.02)
+        srv.tick()
+        rB = client.recv_pose()
+        assert rB is not None
+        dropped_before = srv.dropped_replies
+        release_first.set()                        # A completes late
+        deadline = time.time() + 30
+        while srv.dropped_replies == dropped_before and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv.dropped_replies == dropped_before + 1
+        client.sock.settimeout(0.5)
+        assert client.recv_pose() is None          # A was never delivered
+    finally:
+        server_mod.jax.device_get = real_get
+        release_first.set()
+        client.close()
+        srv.stop()
+        srv.close()
+
+
+def test_fetch_workers_validation():
+    body = ParametricModel.synthetic(num_vertices=240)
+    net = MobilePoserNet(body)
+    params = init_all_modules(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="fetch_workers"):
+        PoseServer(net, params, host="127.0.0.1", port=0, fetch_workers=0)
